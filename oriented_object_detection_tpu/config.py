@@ -1,0 +1,155 @@
+"""Typed configuration system.
+
+The reference configures everything through module-top constants edited in
+source (`Train_OBB.py:19-42`, `Detect_OBB.py:23-72`) plus YOLO data yamls.
+Here the same knobs are real dataclasses with YAML/CLI overrides, and the
+five BASELINE.json benchmark configurations are named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+# 12-entry class map (`Detect_OBB.py:44-57`, `datasets/GeoMap/data*.yaml`).
+CLASS_NAMES = {
+    0: "Landslide 1",
+    1: "Strike",
+    2: "Spring 1",
+    3: "Minepit 1",
+    4: "Hillside",
+    5: "Feuchte",
+    6: "Torf",
+    7: "Bergsturz",
+    8: "Landslide 2",
+    9: "Spring 2",
+    10: "Spring 3",
+    11: "Minepit 2",
+}
+
+# BGR colors as the reference draws them (`Detect_OBB.py:59-72`).
+CLASS_COLORS = {
+    0: (255, 0, 0),
+    1: (0, 255, 0),
+    2: (0, 0, 255),
+    3: (255, 255, 0),
+    4: (255, 0, 255),
+    5: (0, 255, 255),
+    6: (0, 0, 0),
+    7: (240, 34, 0),
+    8: (50, 20, 60),
+    9: (60, 50, 20),
+    10: (200, 150, 80),
+    11: (100, 200, 150),
+}
+
+
+@dataclass(frozen=True)
+class DTEdgeConfig:
+    """DT-Edge 4th-channel synthesis knobs (`Detect_OBB.py:29-32`)."""
+
+    sigmas: tuple = (0.0, 0.6, 1.2, 2.4)
+    bin_method: str = "percentile"      # "percentile" | "otsu"
+    p_hi: int = 90
+    p_lo: int = 65
+    morph_open: int = 1
+    tau: float = 3.0
+
+
+@dataclass(frozen=True)
+class ScaleConfig:
+    """One inference scale: a tile size + overlap + model checkpoint."""
+
+    tile_size: int
+    overlap: int
+    checkpoint: Optional[str] = None
+    model_scale: str = "x"
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    """Tiled multi-scale inference configuration (`Detect_OBB.py:23-72`)."""
+
+    scales: tuple = (ScaleConfig(128, 30), ScaleConfig(416, 100))
+    channels: int = 3                    # 3 or 4 (RGB + DT-Edge)
+    nc: int = 12
+    calculate_metrics: bool = False
+    conf_thr_metrics: float = 0.001
+    conf_thr_predict: float = 0.25
+    engine_nms_iou: float = 0.7          # in-engine rotated NMS
+    merge_iou: float = 0.4               # global/per-tile merge
+    metrics_iou: float = 0.25
+    map_min_score: float = 0.001
+    apply_border_filter: bool = True
+    margin_128: int = 10
+    margin_416: int = 20
+    max_det_per_tile: int = 300
+    pre_topk: int = 512
+    dt_edge: DTEdgeConfig = field(default_factory=DTEdgeConfig)
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training + dataset-build configuration (`Train_OBB.py:19-42`)."""
+
+    channels: int = 3
+    apply_filtered_rgb: bool = False
+    need_cropping: bool = True
+    need_augmentation: bool = True
+    tile_size: int = 416
+    overlap: int = 100
+    epochs: int = 150
+    batch_size: int = 16
+    object_boundary_threshold: float = 0.1
+    class_balance_threshold: int = 800
+    augmentation_repeats: int = 2
+    r_target: int = 4                    # empty:positive tile budget
+    model_scale: str = "x"
+    nc: int = 12
+    # optimizer (per-size hyperparams, `Train_OBB.py:796-841`)
+    lr0: float = 0.003
+    lrf: float = 0.05
+    weight_decay: float = 0.001
+    momentum: float = 0.937
+    warmup_epochs: float = 3.0
+    warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
+    dropout: float = 0.0
+    patience: int = 50
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0
+    # loss gains (engine defaults)
+    box_gain: float = 7.5
+    cls_gain: float = 0.5
+    dfl_gain: float = 1.5
+    seed: int = 42
+    # parallelism
+    data_axis: str = "data"
+    compute_dtype: str = "bfloat16"
+
+
+def _preset_detect(**kw) -> DetectConfig:
+    return dataclasses.replace(DetectConfig(), **kw)
+
+
+# The five BASELINE.json configurations as named presets.
+PRESETS = {
+    # Single-scale 3ch detection: best416 on tile 416 / overlap 100
+    "detect_416": _preset_detect(scales=(ScaleConfig(416, 100),)),
+    # Single-scale small-tile detection: best128, tile 128 / overlap 30
+    "detect_128": _preset_detect(scales=(ScaleConfig(128, 30),)),
+    # 4-channel RGB + DT-Edge single-scale
+    "detect_416_4ch": _preset_detect(
+        scales=(ScaleConfig(416, 100),), channels=4),
+    # Dual-scale [128, 416] with consensus late fusion + metrics suite
+    "detect_dual": _preset_detect(calculate_metrics=True),
+    # Train_OBB end-to-end equivalent
+    "train_416": TrainConfig(),
+}
+
+
+def load_overrides(cfg, overrides: dict):
+    """Apply a {field: value} dict (e.g. parsed YAML/CLI) to a dataclass."""
+    return dataclasses.replace(cfg, **overrides)

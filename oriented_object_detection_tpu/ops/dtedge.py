@@ -1,0 +1,220 @@
+"""DT-Edge 4th-channel synthesis, batched on device.
+
+TPU-native rebuild of `build_multich` / `dt_edge_channel_from_bgr`
+(`Detect_OBB.py:87-133`, `Train_OBB.py:615-664`): multi-scale Scharr
+gradient magnitude -> binarize (percentile or Otsu) -> 3x3 ellipse
+morphological open -> exact L2 distance transform of the non-edge mask ->
+1-99 percentile normalize -> soft map exp(-d/tau) blended 0.7*soft +
+0.3*minmax(acc) -> uint8.
+
+All steps are shape-static and batched over [B, H, W, ...]; blurs/Scharr are
+separable convolutions, the morphology is shift-min/max with a cross
+structuring element (cv2's 3x3 ELLIPSE), and the EDT is the exact kernel in
+`edt.py` (the reference's cv2 maskSize=3 call is a chamfer approximation —
+documented divergence, ours is exact).
+
+Quantization choices mirror cv2: grayscale and each Gaussian blur round to
+uint8 before the next stage, and the final map truncates (not rounds) to
+uint8 like `(soft * 255).astype(np.uint8)`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .edt import edt_l2
+from ..config import DTEdgeConfig
+
+
+def bgr_to_gray_u8(bgr: jnp.ndarray) -> jnp.ndarray:
+    """cv2 BGR->GRAY: Y = 0.299 R + 0.587 G + 0.114 B, rounded to uint8."""
+    b, g, r = bgr[..., 0], bgr[..., 1], bgr[..., 2]
+    y = 0.299 * r.astype(jnp.float32) + 0.587 * g.astype(jnp.float32) \
+        + 0.114 * b.astype(jnp.float32)
+    return jnp.round(y)
+
+
+def _gaussian_kernel_1d(sigma: float) -> np.ndarray:
+    """cv2 getGaussianKernel for uint8 inputs: ksize = round(6*sigma+1)|1."""
+    ksize = int(round(sigma * 3 * 2 + 1)) | 1
+    half = ksize // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _reflect101_pad(x: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """cv2 BORDER_REFLECT_101 on the last two dims of [..., H, W]."""
+    return jnp.pad(
+        x, [(0, 0)] * (x.ndim - 2) + [(ph, ph), (pw, pw)], mode="reflect")
+
+
+def _sep_conv2d(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray
+                ) -> jnp.ndarray:
+    """Separable conv over [..., H, W] with REFLECT_101 borders."""
+    khx, khy = len(kx) // 2, len(ky) // 2
+    x = _reflect101_pad(img, khy, khx)
+    # horizontal
+    kxa = jnp.asarray(kx, img.dtype)
+    x = sum(kxa[i] * x[..., :, i:i + img.shape[-1]]
+            for i in range(len(kx)))
+    # vertical
+    kya = jnp.asarray(ky, img.dtype)
+    x = sum(kya[i] * x[..., i:i + img.shape[-2], :]
+            for i in range(len(ky)))
+    return x
+
+
+def gaussian_blur_u8(gray: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """GaussianBlur on uint8-valued gray with REFLECT_101, rounded back to
+    uint8 values (cv2 keeps src depth)."""
+    k = _gaussian_kernel_1d(sigma)
+    out = _sep_conv2d(gray.astype(jnp.float32), k, k)
+    return jnp.clip(jnp.round(out), 0, 255)
+
+
+def scharr_magnitude(gray: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(Scharr_x^2 + Scharr_y^2), REFLECT_101 borders, float32."""
+    g = gray.astype(jnp.float32)
+    deriv = np.array([-1.0, 0.0, 1.0], np.float32)
+    smooth = np.array([3.0, 10.0, 3.0], np.float32)
+    gx = _sep_conv2d(g, deriv, smooth)   # d/dx, smoothed in y
+    gy = _sep_conv2d(g, smooth, deriv)   # d/dy, smoothed in x
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def multi_scale_scharr(gray: jnp.ndarray, sigmas) -> jnp.ndarray:
+    """Max of Scharr magnitudes over Gaussian pre-blur scales
+    (`Detect_OBB.py:100-107`)."""
+    acc = None
+    for s in sigmas:
+        blur = gaussian_blur_u8(gray, s) if s > 0 else gray
+        mag = scharr_magnitude(blur)
+        acc = mag if acc is None else jnp.maximum(acc, mag)
+    return acc
+
+
+def _percentile_hw(x: jnp.ndarray, q) -> jnp.ndarray:
+    """Per-image percentile over the trailing H, W dims.
+
+    For vector q the quantile axis is moved LAST: [..., len(q)]
+    (jnp.percentile natively puts it first)."""
+    flat = x.reshape(*x.shape[:-2], -1)
+    qa = jnp.asarray(q)
+    out = jnp.percentile(flat, qa, axis=-1)
+    if qa.ndim > 0:
+        out = jnp.moveaxis(out, 0, -1)
+    return out
+
+
+def binarize_percentile(acc: jnp.ndarray, p_hi: float) -> jnp.ndarray:
+    """edges = acc >= per-image percentile(p_hi) (`Detect_OBB.py:113-114`)."""
+    hi = _percentile_hw(acc, p_hi)
+    return acc >= hi[..., None, None]
+
+
+def binarize_otsu(acc: jnp.ndarray) -> jnp.ndarray:
+    """Otsu on the min-max-normalized uint8 histogram (`Detect_OBB.py:109-111`)."""
+    mn = acc.min(axis=(-2, -1), keepdims=True)
+    mx = acc.max(axis=(-2, -1), keepdims=True)
+    a8 = jnp.round((acc - mn) / jnp.maximum(mx - mn, 1e-12) * 255.0)
+
+    flat = a8.reshape(*a8.shape[:-2], -1)
+    bins = jnp.arange(256.0)
+
+    def otsu_one(v):
+        hist = jnp.zeros(256).at[v.astype(jnp.int32)].add(1.0)
+        w0 = jnp.cumsum(hist)
+        w1 = w0[-1] - w0
+        m0 = jnp.cumsum(hist * bins)
+        mu0 = m0 / jnp.maximum(w0, 1.0)
+        mu1 = (m0[-1] - m0) / jnp.maximum(w1, 1.0)
+        between = w0 * w1 * (mu0 - mu1) ** 2
+        return jnp.argmax(between).astype(jnp.float32)
+
+    thr = jax.vmap(otsu_one)(flat.reshape(-1, flat.shape[-1]))
+    thr = thr.reshape(a8.shape[:-2])
+    return a8 > thr[..., None, None]
+
+
+def _shift2d(x, dy, dx, fill):
+    out = jnp.full_like(x, fill)
+    H, W = x.shape[-2], x.shape[-1]
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    yd = slice(max(-dy, 0), H + min(-dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    xd = slice(max(-dx, 0), W + min(-dx, 0))
+    return out.at[..., yd, xd].set(x[..., ys, xs])
+
+
+_CROSS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))  # 3x3 ELLIPSE support
+
+
+def morph_open_cross(mask: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """Binary opening with cv2's 3x3 MORPH_ELLIPSE (a cross).
+
+    cv2 border semantics: erosion treats outside as +inf (no constraint),
+    dilation as -inf."""
+    m = mask
+    for _ in range(iterations):  # erode
+        acc = jnp.ones_like(m)
+        for dy, dx in _CROSS:
+            acc = acc & _shift2d(m, dy, dx, True)
+        m = acc
+    for _ in range(iterations):  # dilate
+        acc = jnp.zeros_like(m)
+        for dy, dx in _CROSS:
+            acc = acc | _shift2d(m, dy, dx, False)
+        m = acc
+    return m
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def dt_edge_channel(bgr: jnp.ndarray, cfg: DTEdgeConfig = DTEdgeConfig(),
+                    use_pallas: bool = False) -> jnp.ndarray:
+    """Full DT-Edge channel for a batch of BGR uint8 images [B, H, W, 3]
+    -> uint8-valued float [B, H, W]."""
+    gray = bgr_to_gray_u8(bgr)
+    acc = multi_scale_scharr(gray, cfg.sigmas)
+
+    if cfg.bin_method == "otsu":
+        edges = binarize_otsu(acc)
+    else:
+        edges = binarize_percentile(acc, cfg.p_hi)
+
+    if cfg.morph_open > 0:
+        edges = morph_open_cross(edges, cfg.morph_open)
+
+    # distance from every non-edge pixel to the nearest edge pixel;
+    # edge pixels themselves get 0 (cv2: zero pixels of non_edge are edges)
+    dist = edt_l2(edges, use_pallas=use_pallas)
+
+    lohi = _percentile_hw(dist, (1.0, 99.0))
+    lo, hi = lohi[..., 0], lohi[..., 1]
+    scale = jnp.maximum(1e-6, hi - lo)
+    dnorm = jnp.clip((dist - lo[..., None, None]) / scale[..., None, None],
+                     0.0, 1.0)
+
+    soft = jnp.exp(-dnorm / cfg.tau)
+    amn = acc.min(axis=(-2, -1), keepdims=True)
+    amx = acc.max(axis=(-2, -1), keepdims=True)
+    acc_nrm = (acc - amn) / jnp.maximum(amx - amn, 1e-12)
+    out = jnp.clip(0.7 * soft + 0.3 * acc_nrm, 0.0, 1.0)
+    return jnp.floor(out * 255.0)  # astype(np.uint8) truncates
+
+
+def build_multich(bgr: jnp.ndarray, out_channels: int,
+                  cfg: DTEdgeConfig = DTEdgeConfig(),
+                  use_pallas: bool = False) -> jnp.ndarray:
+    """Network input builder (`Detect_OBB.py:87-133`): 3ch -> RGB;
+    4ch -> [R, G, B, DT-Edge]. Input BGR uint8 [B, H, W, 3]; output float32
+    [B, H, W, C] still in 0..255 (scaling /255 happens in the forward)."""
+    rgb = bgr[..., ::-1].astype(jnp.float32)
+    if out_channels == 3:
+        return rgb
+    dt = dt_edge_channel(bgr, cfg, use_pallas=use_pallas)
+    return jnp.concatenate([rgb, dt[..., None]], axis=-1)
