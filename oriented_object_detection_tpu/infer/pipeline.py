@@ -1,0 +1,250 @@
+"""Tiled multi-scale OBB inference pipeline.
+
+The reference runs one ultralytics predict call per tile per scale
+(~99-137 separate forward passes per golden image, `Detect_OBB.py:202-266`).
+Here each scale is ONE jitted device program over the whole padded tile
+batch:
+
+    gather tiles -> (DT-Edge if 4ch) -> /255 -> bf16 forward -> decode ->
+    in-engine ProbIoU NMS -> stitch to global coords -> border filter ->
+    per-tile exact-IoU merge NMS -> strike angles
+
+with fixed shapes throughout (tile count padded to power-of-two buckets,
+max_det padding masks). Host code only does grid math, result compaction,
+consensus fusion across scales (`fusion.py`), drawing and export.
+
+Detection rows follow the reference 11-tuple layout:
+(x1..y4 global px, cls_id, conf, angle_deg).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLASS_COLORS, CLASS_NAMES, DetectConfig, ScaleConfig
+from ..models import YOLO11OBB
+from ..models import decode as D
+from ..ops import dtedge as DT
+from ..ops import geometry as G
+from ..ops import nms as NMS
+from ..ops import tiling as T
+from ..utils import xlsx
+from . import fusion as F
+
+STRIKE_CLS = 1  # "Strike" (`Detect_OBB.py:45`, angle only for this class)
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class TiledDetector:
+    """Multi-scale tiled detector over a set of per-scale model params.
+
+    params_by_scale: {tile_size: flax variables dict}. Scales and thresholds
+    come from `DetectConfig`.
+    """
+
+    def __init__(self, cfg: DetectConfig,
+                 params_by_scale: dict[int, dict],
+                 max_det: Optional[int] = None,
+                 pre_topk: Optional[int] = None):
+        self.cfg = cfg
+        self.params = params_by_scale
+        self.max_det = max_det or cfg.max_det_per_tile
+        self.pre_topk = pre_topk or cfg.pre_topk
+        self.models = {
+            sc.tile_size: YOLO11OBB(
+                nc=cfg.nc, scale=sc.model_scale, in_channels=cfg.channels)
+            for sc in cfg.scales
+        }
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    def _tile_fn(self, tile_size: int):
+        """Build (and cache) the jitted whole-batch program for a scale."""
+        if tile_size in self._fns:
+            return self._fns[tile_size]
+
+        cfg = self.cfg
+        model = self.models[tile_size]
+        margin = float(T.margin_for(
+            tile_size, cfg.margin_128, cfg.margin_416))
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+
+        @functools.partial(jax.jit, static_argnames=())
+        def run(params, tiles_u8, tiles_xywh, tile_valid, conf_thr):
+            x = DT.build_multich(tiles_u8, cfg.channels, cfg.dt_edge)
+            x = (x / 255.0).astype(dtype)
+            out = model.apply(params, x)
+            rbox, scores = D.decode_raw(out, tile_size)
+            dets = D.postprocess_batch(
+                rbox, scores, conf_thr, cfg.engine_nms_iou,
+                max_det=self.max_det, pre_topk=self.pre_topk)
+
+            c8g = T.stitch_to_global(dets["corners8"],
+                                     tiles_xywh[:, :2])
+            valid = dets["valid"] & tile_valid[:, None]
+            if cfg.apply_border_filter and margin > 0:
+                centers = G.box_center(c8g)
+                valid = valid & T.border_keep_mask(
+                    centers, tiles_xywh, margin)
+
+            keep = NMS.nms_keep_mask_batched(
+                c8g, dets["cls"], dets["conf"], valid, cfg.merge_iou,
+                use_exact=True)
+
+            ang = jnp.where(dets["cls"] == STRIKE_CLS,
+                            G.strike_angle(c8g), 0.0)
+            return c8g, dets["cls"], dets["conf"], ang, keep
+
+        self._fns[tile_size] = run
+        return run
+
+    # ------------------------------------------------------------------
+    def detect_scale(self, image_bgr: np.ndarray, scale: ScaleConfig
+                     ) -> np.ndarray:
+        """All detections for one scale as [N, 11] rows, in the reference's
+        order (tile scan order, conf-descending within each tile)."""
+        h, w = image_bgr.shape[:2]
+        ts = scale.tile_size
+        grid = T.inference_tile_grid(h, w, ts, scale.overlap)
+        tcount = len(grid)
+        tb = _bucket(tcount)
+
+        grid_p = np.zeros((tb, 4), np.int32)
+        grid_p[:tcount] = grid
+        tile_valid = np.zeros((tb,), bool)
+        tile_valid[:tcount] = True
+
+        tiles = T.extract_tiles(
+            jnp.asarray(image_bgr), jnp.asarray(grid_p[:, :2]), ts)
+
+        conf_thr = (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
+                    else self.cfg.conf_thr_predict)
+        run = self._tile_fn(ts)
+        c8, cls, conf, ang, keep = run(
+            self.params[ts], tiles, jnp.asarray(grid_p),
+            jnp.asarray(tile_valid), jnp.float32(conf_thr))
+
+        c8 = np.asarray(c8, np.float64)
+        cls = np.asarray(cls)
+        conf = np.asarray(conf, np.float64)
+        ang = np.asarray(ang, np.float64)
+        keep = np.asarray(keep)
+
+        rows = []
+        for t in range(tcount):
+            sel = np.where(keep[t])[0]  # already conf-desc within tile
+            for i in sel:
+                rows.append(np.concatenate([
+                    c8[t, i], [float(cls[t, i]), conf[t, i], ang[t, i]]]))
+        return (np.stack(rows) if rows
+                else np.zeros((0, F.DET_WIDTH), np.float64))
+
+    # ------------------------------------------------------------------
+    def detect_image(self, image_bgr: np.ndarray):
+        """Full multi-scale detection: returns dict with per-scale dets,
+        consensus+merged dets (`merged_for_pr`) and, under
+        calculate_metrics, the wide pre-consensus union (`merged_for_map`)
+        — mirroring `process_image` (`Detect_OBB.py:268-345`)."""
+        dets_by_scale = {
+            sc.tile_size: self.detect_scale(image_bgr, sc)
+            for sc in self.cfg.scales
+        }
+
+        result = {"by_scale": dets_by_scale}
+        if self.cfg.calculate_metrics:
+            union = (np.concatenate(list(dets_by_scale.values()))
+                     if dets_by_scale else np.zeros((0, F.DET_WIDTH)))
+            result["merged_for_map"] = F.merge_detections(
+                union, self.cfg.merge_iou)
+
+        consensus = F.cross_scale_consensus_filter(dets_by_scale)
+        result["merged_for_pr"] = F.merge_detections(
+            consensus, self.cfg.merge_iou)
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Rendering + export (host I/O boundary, matches reference artifacts)
+# ---------------------------------------------------------------------------
+
+def draw_detections(image_bgr: np.ndarray, dets: np.ndarray) -> np.ndarray:
+    """Annotated copy: polylines + 'label conf' text (`Detect_OBB.py:304-316`)."""
+    import cv2
+
+    out = image_bgr.copy()
+    H, W = out.shape[:2]
+    for row in dets:
+        x1, y1, x2, y2, x3, y3, x4, y4, cls_id, conf = row[:10]
+        cls_id = int(cls_id)
+        color = tuple(int(c) for c in CLASS_COLORS.get(cls_id, (0, 255, 255)))
+        label = CLASS_NAMES.get(cls_id, f"Class{cls_id}")
+        pts = np.array([[x1, y1], [x2, y2], [x3, y3], [x4, y4]], np.int32)
+        cv2.polylines(out, [pts], isClosed=True, color=color, thickness=2)
+        tx = int(max(0, min(W - 1, round(min(x1, x2, x3, x4)))))
+        ty = int(max(0, min(H - 1, round(min(y1, y2, y3, y4) - 10))))
+        cv2.putText(out, f"{label} {conf:.2f}", (tx, ty),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 2,
+                    lineType=cv2.LINE_AA)
+    return out
+
+
+XLSX_HEADER = ["Class", "X1", "Y1", "X2", "Y2", "X3", "Y3", "X4", "Y4",
+               "Confidence", "Angle"]
+
+
+def export_xlsx(path: str, dets: np.ndarray) -> None:
+    """11-column schema export (`Detect_OBB.py:326-330`)."""
+    rows = []
+    for r in dets:
+        cls_id = int(r[8])
+        rows.append([CLASS_NAMES.get(cls_id, f"Class{cls_id}")]
+                    + [float(v) for v in r[:8]]
+                    + [float(r[9]), float(r[10])])
+    xlsx.write_xlsx(path, rows, header=XLSX_HEADER)
+
+
+def process_image(detector: TiledDetector, image_path: str, output_dir: str,
+                  store: Optional[dict] = None) -> dict:
+    """Detect + render + export one image; mirrors `process_image`
+    (`Detect_OBB.py:268-345`) incl. the _detected.jpg / .xlsx naming."""
+    import cv2
+
+    t0 = time.time()
+    image = cv2.imread(image_path)
+    if image is None:
+        print(f"[Warn] Could not read image: {image_path}")
+        return {}
+
+    result = detector.detect_image(image)
+    merged = result["merged_for_pr"]
+    elapsed = time.time() - t0
+    print(f"--- {elapsed:.3f} seconds ---")
+
+    name = os.path.basename(image_path)
+    stem = os.path.splitext(name)[0]
+    os.makedirs(output_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(output_dir, f"{stem}_detected.jpg"),
+                draw_detections(image, merged))
+    export_xlsx(os.path.join(output_dir, f"{stem}.xlsx"), merged)
+
+    if store is not None:
+        store.setdefault("pr", {})[image_path] = merged
+        if "merged_for_map" in result:
+            store.setdefault("map", {})[image_path] = result[
+                "merged_for_map"]
+    result["seconds"] = elapsed
+    return result

@@ -1,0 +1,85 @@
+"""End-to-end inference pipeline smoke tests (random-weight model, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from oriented_object_detection_tpu.config import (DetectConfig, ScaleConfig)
+from oriented_object_detection_tpu.infer import pipeline as P
+from oriented_object_detection_tpu.models import YOLO11OBB
+
+cv2 = pytest.importorskip("cv2")
+
+
+def make_detector(scales, channels=3, metrics=False, model_scale="n"):
+    import dataclasses
+    cfg = DetectConfig(
+        scales=tuple(ScaleConfig(ts, ov, model_scale=model_scale)
+                     for ts, ov in scales),
+        channels=channels, calculate_metrics=metrics)
+    params = {}
+    for sc in cfg.scales:
+        m = YOLO11OBB(nc=cfg.nc, scale=sc.model_scale, in_channels=channels)
+        x = np.zeros((1, sc.tile_size, sc.tile_size, channels), np.float32)
+        params[sc.tile_size] = m.init(jax.random.PRNGKey(0), x)
+    return P.TiledDetector(cfg, params, max_det=16, pre_topk=32)
+
+
+class TestEndToEnd:
+    def test_single_scale_runs(self):
+        det = make_detector([(64, 16)])
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+        out = det.detect_image(img)
+        assert "merged_for_pr" in out
+        dets = out["merged_for_pr"]
+        assert dets.ndim == 2 and dets.shape[1] == 11
+
+    def test_dual_scale_with_metrics_store(self, tmp_path):
+        det = make_detector([(64, 16), (96, 24)], metrics=True)
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (100, 100, 3)).astype(np.uint8)
+        p = str(tmp_path / "img.png")
+        cv2.imwrite(p, img)
+        store = {}
+        result = P.process_image(det, p, str(tmp_path), store=store)
+        assert "merged_for_map" in result
+        assert os.path.exists(tmp_path / "img_detected.jpg")
+        assert os.path.exists(tmp_path / "img.xlsx")
+        from oriented_object_detection_tpu.utils import xlsx
+        rows = xlsx.read_xlsx(str(tmp_path / "img.xlsx"))
+        assert rows[0] == P.XLSX_HEADER
+
+    def test_4ch_path_runs(self):
+        det = make_detector([(64, 16)], channels=4)
+        rng = np.random.RandomState(2)
+        img = rng.randint(0, 255, (80, 80, 3)).astype(np.uint8)
+        out = det.detect_image(img)
+        assert out["merged_for_pr"].shape[1] == 11
+
+    def test_detections_within_image_or_margin(self):
+        det = make_detector([(64, 16)])
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+        out = det.detect_image(img)
+        dets = out["merged_for_pr"]
+        if len(dets):
+            # centers must be inside the image (border filter keeps
+            # centers >= margin from tile borders)
+            cx = dets[:, 0:8:2].mean(1)
+            cy = dets[:, 1:8:2].mean(1)
+            assert (cx >= 0).all() and (cx <= 120).all()
+            assert (cy >= 0).all() and (cy <= 100).all()
+
+    def test_strike_angle_only_for_strike(self):
+        det = make_detector([(64, 16)])
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        out = det.detect_image(img)
+        dets = out["merged_for_pr"]
+        for r in dets:
+            if int(r[8]) != P.STRIKE_CLS:
+                assert r[10] == 0.0
