@@ -1,0 +1,327 @@
+"""Evaluation suite: greedy-matched P/R/F1, VOC-style AP/mAP over IoU
+sweeps, soft-mAP, center-hit metric, class-wise report.
+
+Semantics-exact rebuild of the reference evaluators
+(`Detect_OBB.py:456-740`) with two structural improvements that do not
+change any number:
+
+* GT label files are loaded once per image and cached (the reference
+  re-reads them from disk for every class x IoU-threshold combination).
+* All polygon IoUs between detections and GTs of an image are computed in
+  one device-batched exact-IoU call and then consumed by the sequential
+  greedy matchers on the host.
+
+Detections are [N, 11] rows (x1..y4, cls, conf, angle); GTs [M, 9]
+(cls, corners in pixels).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable
+
+import numpy as np
+
+from ..config import CLASS_NAMES
+from ..data import labels as L
+from ..infer.fusion import exact_iou_matrix_host
+from ..ops import geometry as G
+from ..utils import xlsx
+
+
+class GTCache:
+    """Per-image GT cache with a memoized det-vs-gt IoU matrix."""
+
+    def __init__(self, loader: Callable[[str], np.ndarray] | None = None):
+        self.loader = loader or L.load_gt_as_pixels
+        self._gt: dict[str, np.ndarray] = {}
+        self._iou: dict[int, np.ndarray] = {}
+
+    def gt(self, image_path: str) -> np.ndarray:
+        if image_path not in self._gt:
+            self._gt[image_path] = self.loader(image_path)
+        return self._gt[image_path]
+
+    def iou(self, dets: np.ndarray, image_path: str) -> np.ndarray:
+        """[N_det, N_gt] exact IoU, memoized on (image, det content)."""
+        arr = np.ascontiguousarray(
+            np.asarray(dets, dtype=np.float64)[:, :8])
+        key = (image_path, hash(arr.tobytes()))
+        if key not in self._iou:
+            gts = self.gt(image_path)
+            self._iou[key] = exact_iou_matrix_host(arr, gts[:, 1:])
+        return self._iou[key]
+
+
+def prec_rec_f1(tp: float, fp: float, fn: float):
+    """`Detect_OBB.py:482-486` (1e-9 eps)."""
+    P = tp / (tp + fp + 1e-9)
+    R = tp / (tp + fn + 1e-9)
+    F1 = 2 * P * R / (P + R + 1e-9)
+    return P, R, F1
+
+
+def match_dets_to_gts(dets: np.ndarray, gts: np.ndarray,
+                      iou: np.ndarray, iou_thr: float):
+    """Greedy in-order matching (`Detect_OBB.py:456-480`): each det takes
+    the best-IoU unused same-class GT; TP iff best IoU >= thr."""
+    used = np.zeros(len(gts), dtype=bool)
+    tp = 0
+    for i, det in enumerate(dets):
+        cls1 = int(det[8])
+        best_iou, best_j = 0.0, -1
+        for j in range(len(gts)):
+            if used[j] or cls1 != int(gts[j, 0]):
+                continue
+            if iou[i, j] > best_iou:
+                best_iou, best_j = iou[i, j], j
+        if best_iou >= iou_thr and best_j >= 0:
+            used[best_j] = True
+            tp += 1
+    fp = len(dets) - tp
+    fn = int((~used).sum())
+    return tp, fp, fn
+
+
+def compute_ap_from_pr(recall: np.ndarray, precision: np.ndarray) -> float:
+    """Monotone precision envelope + step integration
+    (`Detect_OBB.py:489-499`)."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([0.0], precision, [0.0]))
+    for i in range(mpre.size - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def compute_pr_for_class(dets: list, gts: dict, iou_lookup, iou_thr: float):
+    """Class PR curve + AP (`Detect_OBB.py:512-565`).
+
+    dets: list of (image_path, det_index, score); gts: {img: [M_c] gt row
+    indices}; iou_lookup(img) -> full [N_det, N_gt] matrix for that image.
+    Returns (precision, recall, ap, TP, FP, FN)."""
+    npos = sum(len(v) for v in gts.values())
+    if npos == 0:
+        return np.array([0.0]), np.array([0.0]), 0.0, 0, 0, 0
+    if not dets:
+        return np.array([0.0]), np.array([0.0]), 0.0, 0, 0, npos
+
+    order = sorted(range(len(dets)), key=lambda i: -dets[i][2])
+    tp = np.zeros(len(dets))
+    fp = np.zeros(len(dets))
+    matched = {img: np.zeros(len(v), dtype=bool) for img, v in gts.items()}
+
+    for rank, di in enumerate(order):
+        img, det_idx, _ = dets[di]
+        gt_rows = gts.get(img, [])
+        best_iou, best_j = 0.0, -1
+        iou_m = iou_lookup(img)
+        for j, gt_row in enumerate(gt_rows):
+            if matched[img][j]:
+                continue
+            iou = iou_m[det_idx, gt_row]
+            if iou > best_iou:
+                best_iou, best_j = iou, j
+        if best_iou >= iou_thr and best_j >= 0:
+            tp[rank] = 1
+            matched[img][best_j] = True
+        else:
+            fp[rank] = 1
+
+    tp_c, fp_c = np.cumsum(tp), np.cumsum(fp)
+    recall = tp_c / (npos + 1e-9)
+    precision = tp_c / (tp_c + fp_c + 1e-9)
+    ap = compute_ap_from_pr(recall, precision)
+    return (precision, recall, ap, int(tp_c[-1]), int(fp_c[-1]),
+            npos - int(tp_c[-1]))
+
+
+def evaluate_map(dets_per_image: dict, all_images: Iterable[str],
+                 iou_list, cache: GTCache,
+                 map_min_score: float = 0.001) -> dict:
+    """mAP over an IoU threshold list (`Detect_OBB.py:574-607`): per-IoU
+    mean AP over GT-present classes; 'mAP@0.5' = per_iou[0.5],
+    'mAP@[lo:hi]' = mean over the list."""
+    all_images = list(all_images)
+    class_ids = sorted({
+        int(c) for img in all_images for c in cache.gt(img)[:, 0]})
+
+    per_iou = {}
+    for iou_thr in iou_list:
+        aps = []
+        for cid in class_ids:
+            dets, gts = [], {}
+            for img in all_images:
+                arr = np.asarray(dets_per_image.get(img, np.zeros((0, 11))))
+                arr = arr.reshape(-1, 11)
+                for i in range(len(arr)):
+                    if int(arr[i, 8]) == cid and arr[i, 9] >= map_min_score:
+                        dets.append((img, i, float(arr[i, 9])))
+                g = cache.gt(img)
+                gts[img] = [j for j in range(len(g))
+                            if int(g[j, 0]) == cid]
+            lookup = (lambda img: cache.iou(
+                np.asarray(dets_per_image.get(img, np.zeros((0, 11)))
+                           ).reshape(-1, 11), img))
+            _, _, ap, *_ = compute_pr_for_class(dets, gts, lookup, iou_thr)
+            aps.append(ap)
+        per_iou[round(float(iou_thr), 2)] = (float(np.mean(aps))
+                                             if aps else 0.0)
+
+    ious = [round(float(i), 2) for i in iou_list]
+    return {
+        "mAP@0.5": per_iou.get(0.5, 0.0),
+        "mAP@mean": float(np.mean([per_iou[i] for i in ious]))
+        if ious else 0.0,
+        "per_iou": per_iou,
+    }
+
+
+def evaluate_center_hit(dets_per_image: dict, all_images: Iterable[str],
+                        cache: GTCache, conf_thr: float = 0.5):
+    """Center-hit metric (`Detect_OBB.py:609-648`): TP iff a det's center
+    (conf >= thr) lies strictly inside the FIRST unused same-class GT
+    polygon in file order."""
+    import jax.numpy as jnp
+
+    tp = fp = fn = 0
+    for img in all_images:
+        arr = np.asarray(dets_per_image.get(img, np.zeros((0, 11)))
+                         ).reshape(-1, 11)
+        dets = arr[arr[:, 9] >= conf_thr]
+        gts = cache.gt(img)
+        used = np.zeros(len(gts), dtype=bool)
+
+        if len(dets) and len(gts):
+            centers = np.stack([dets[:, 0:8:2].mean(1),
+                                dets[:, 1:8:2].mean(1)], axis=1)
+            inside = np.asarray(G.point_in_quad(
+                jnp.asarray(centers)[:, None, :],
+                jnp.asarray(gts[None, :, 1:])))
+            simple = np.asarray(G.quad_is_simple(jnp.asarray(gts[:, 1:])))
+        else:
+            inside = np.zeros((len(dets), len(gts)), bool)
+            simple = np.ones(len(gts), bool)
+
+        for i in range(len(dets)):
+            cls = int(dets[i, 8])
+            matched = False
+            for j in range(len(gts)):
+                if used[j] or int(gts[j, 0]) != cls or not simple[j]:
+                    continue
+                if inside[i, j]:
+                    tp += 1
+                    used[j] = True
+                    matched = True
+                    break
+            if not matched:
+                fp += 1
+        fn += int((~used).sum())
+
+    P, R, F1 = prec_rec_f1(tp, fp, fn)
+    print(f"[Center-Hit @ conf≥{conf_thr:.2f}] P={P:.3f} R={R:.3f} "
+          f"F1={F1:.3f} (TP={tp}, FP={fp}, FN={fn})")
+    return P, R, F1
+
+
+def evaluate_dataset(dets_per_image: dict, all_images: Iterable[str],
+                     cache: GTCache, conf_thr: float, iou_thr: float):
+    """Dataset-level P/R/F1 (`Detect_OBB.py:650-658`)."""
+    tot = np.zeros(3, dtype=np.int64)
+    for img in all_images:
+        arr = np.asarray(dets_per_image.get(img, np.zeros((0, 11)))
+                         ).reshape(-1, 11)
+        filt_idx = np.where(arr[:, 9] >= conf_thr)[0]
+        gts = cache.gt(img)
+        iou_full = cache.iou(arr, img)
+        tp, fp, fn = match_dets_to_gts(
+            arr[filt_idx], gts, iou_full[filt_idx], iou_thr)
+        tot += (tp, fp, fn)
+    return prec_rec_f1(*tot)
+
+
+def classwise_report(dets_per_image: dict, all_images: Iterable[str],
+                     cache: GTCache, conf_thr: float, iou_thr: float,
+                     out_path: str | None = None):
+    """Per-class TP/FP/FN/P/R/F1 rows + xlsx (`Detect_OBB.py:660-686`)."""
+    all_cids = sorted({
+        int(d[8]) for dets in dets_per_image.values()
+        for d in np.asarray(dets).reshape(-1, 11)})
+    rows = []
+    for cid in all_cids:
+        tot = np.zeros(3, dtype=np.int64)
+        for img in all_images:
+            arr = np.asarray(dets_per_image.get(img, np.zeros((0, 11)))
+                             ).reshape(-1, 11)
+            sel = np.where((arr[:, 8].astype(int) == cid)
+                           & (arr[:, 9] >= conf_thr))[0]
+            gts = cache.gt(img)
+            gsel = gts[:, 0].astype(int) == cid
+            iou_full = cache.iou(arr, img)
+            tp, fp, fn = match_dets_to_gts(
+                arr[sel], gts[gsel], iou_full[np.ix_(sel, np.where(
+                    gsel)[0])], iou_thr)
+            tot += (tp, fp, fn)
+        P, R, F1 = prec_rec_f1(*tot)
+        rows.append([cid, CLASS_NAMES.get(cid, str(cid)),
+                     int(tot[0]), int(tot[1]), int(tot[2]), P, R, F1])
+    if out_path:
+        xlsx.write_xlsx(out_path, rows, header=[
+            "cls_id", "class", "TP", "FP", "FN",
+            "Precision", "Recall", "F1"])
+        print(f"[Saved] {out_path}")
+    return rows
+
+
+def run_fusion_eval(dets_pr: dict, input_dir: str, output_dir: str,
+                    iou_thr: float = 0.25, dets_map: dict | None = None,
+                    cache: GTCache | None = None,
+                    single_scale: bool = False) -> dict:
+    """Full evaluation block (`Detect_OBB.py:688-740`): P/R/F1 at
+    conf=iou_thr (reference quirk: the conf threshold is set to the IoU
+    threshold value, `:700-702`), class-wise xlsx, center-hit, mAP@0.5 /
+    mAP@[0.5:0.95], soft mAP@0.3 / mAP@[0.3:0.7]."""
+    cache = cache or GTCache()
+    all_images = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".tif", ".tiff")))
+    if not all_images:
+        print("[Eval] No images found for evaluation.")
+        return {}
+
+    thr = float(iou_thr)
+    tag = "Report" if single_scale else "Fusion"
+    if not single_scale:
+        print("[Fusion] scale-agnostic merge (late fusion).")
+    P, R, F1 = evaluate_dataset(dets_pr, all_images, cache,
+                                conf_thr=thr, iou_thr=iou_thr)
+    print(f"[{tag} @ {thr:.2f}] Precision={P:.3f} | Recall={R:.3f} "
+          f"| F1={F1:.3f}")
+
+    classwise_report(
+        dets_pr, all_images, cache, conf_thr=thr, iou_thr=iou_thr,
+        out_path=os.path.join(output_dir, "fusion_classwise_metrics.xlsx"))
+    ch = evaluate_center_hit(dets_pr, all_images, cache, conf_thr=thr)
+
+    # the wide (pre-consensus) det set feeds mAP when present (`:583`)
+    map_source = dets_map if dets_map is not None else dets_pr
+    maps = evaluate_map(map_source, all_images,
+                        list(np.arange(0.5, 0.96, 0.05)), cache)
+    print("[mAP Results]")
+    print(f"mAP@0.5 = {maps['mAP@0.5']:.4f}")
+    print(f"mAP@[0.5:0.95] = {maps['mAP@mean']:.4f}")
+
+    soft = evaluate_map(map_source, all_images,
+                        [0.30, 0.40, 0.50, 0.60, 0.70], cache)
+    print("[mAP (soft) Results]")
+    print(f"mAP@0.3 = {soft['per_iou'][0.3]:.4f}")
+    print(f"mAP@[0.3:0.7] = {soft['mAP@mean']:.4f}")
+
+    return {
+        "precision": P, "recall": R, "f1": F1,
+        "center_hit": ch,
+        "mAP@0.5": maps["mAP@0.5"],
+        "mAP@[0.5:0.95]": maps["mAP@mean"],
+        "soft_mAP@0.3": soft["per_iou"][0.3],
+        "soft_mAP@[0.3:0.7]": soft["mAP@mean"],
+    }
