@@ -1,0 +1,161 @@
+"""Training stack tests: assigner semantics, loss finiteness + overfit
+descent, jitted train step under an 8-device data mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oriented_object_detection_tpu.config import TrainConfig
+from oriented_object_detection_tpu.models import YOLO11OBB
+from oriented_object_detection_tpu.models import decode as D
+from oriented_object_detection_tpu.parallel import mesh as PM
+from oriented_object_detection_tpu.train import assigner as A
+from oriented_object_detection_tpu.train import trainer as TR
+from oriented_object_detection_tpu.train.loss import LossConfig, obb_loss
+
+
+class TestAssigner:
+    def test_candidates_in_rotated_gts(self):
+        pts = jnp.array([[10.0, 10.0], [50.0, 50.0], [10.0, 50.0]])
+        gts = jnp.array([[10.0, 10.0, 8.0, 6.0, 0.3]])
+        m = np.asarray(A.candidates_in_rotated_gts(pts, gts))
+        assert m.shape == (1, 3)
+        assert m[0, 0] and not m[0, 1] and not m[0, 2]
+
+    def test_assign_basic(self):
+        # one GT covering anchors near (16, 16) in a 64px image, stride 8
+        anchor_pts, strides = D.make_anchors(64)
+        anchor_px = anchor_pts * strides[:, None]
+        A_n = anchor_px.shape[0]
+        gt = jnp.array([[[16.0, 16.0, 12.0, 12.0, 0.0]]])
+        labels = jnp.array([[3]])
+        mask = jnp.array([[True]])
+        scores = jnp.full((1, A_n, 12), 0.5)
+        boxes = jnp.tile(gt[:, 0:1], (1, A_n, 1))  # every pred == gt box
+        out = A.assign(scores, boxes, anchor_px, labels, gt, mask, nc=12)
+        fg = np.asarray(out["fg"])[0]
+        assert fg.any()
+        # assigned anchors' labels are the GT class
+        assert (np.asarray(out["labels"])[0][fg] == 3).all()
+        # scores target only on class 3
+        ts = np.asarray(out["scores"])[0]
+        assert ts[fg][:, 3].max() > 0
+        assert ts[:, [c for c in range(12) if c != 3]].max() == 0
+
+    def test_invalid_gt_ignored(self):
+        anchor_pts, strides = D.make_anchors(64)
+        anchor_px = anchor_pts * strides[:, None]
+        A_n = anchor_px.shape[0]
+        gt = jnp.array([[[16.0, 16.0, 12.0, 12.0, 0.0]]])
+        out = A.assign(jnp.full((1, A_n, 12), 0.5),
+                       jnp.tile(gt[:, 0:1], (1, A_n, 1)), anchor_px,
+                       jnp.array([[3]]), gt, jnp.array([[False]]), nc=12)
+        assert not np.asarray(out["fg"]).any()
+
+
+def tiny_batch(rng, B=2, size=64, M=4):
+    imgs = rng.rand(B, size, size, 3).astype(np.float32)
+    labels = np.zeros((B, M), np.int32)
+    boxes = np.zeros((B, M, 5), np.float32)
+    mask = np.zeros((B, M), bool)
+    for b in range(B):
+        labels[b, 0] = 1 + b
+        boxes[b, 0] = [20 + 8 * b, 24, 14, 10, 0.2]
+        mask[b, 0] = True
+    return {"images": jnp.asarray(imgs),
+            "gt_labels": jnp.asarray(labels),
+            "gt_xywhr": jnp.asarray(boxes),
+            "gt_mask": jnp.asarray(mask)}
+
+
+class TestLoss:
+    def test_finite_and_positive(self):
+        cfg = TrainConfig(tile_size=64, model_scale="n", channels=3,
+                          compute_dtype="float32")
+        model, state, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(0))
+        batch = tiny_batch(np.random.RandomState(0))
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"], train=False)
+        total, parts = obb_loss(out, batch["gt_labels"],
+                                batch["gt_xywhr"], batch["gt_mask"],
+                                LossConfig(img_size=64))
+        assert np.isfinite(float(total)) and float(total) > 0
+        for k in ("box", "cls", "dfl"):
+            assert np.isfinite(float(parts[k]))
+        assert int(parts["fg_count"]) > 0
+
+    def test_overfit_descends(self):
+        cfg = TrainConfig(tile_size=64, model_scale="n", channels=3,
+                          lr0=0.01, warmup_epochs=0.0, epochs=10,
+                          compute_dtype="float32")
+        model, state, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(1), steps_per_epoch=10)
+        step_fn = TR.make_train_step(model, tx, cfg,
+                                     LossConfig(img_size=64))
+        batch = tiny_batch(np.random.RandomState(1))
+        losses = []
+        for _ in range(12):
+            state, m = step_fn(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.9, losses
+
+    def test_ema_moves(self):
+        cfg = TrainConfig(tile_size=64, model_scale="n", lr0=0.01,
+                          warmup_epochs=0.0, compute_dtype="float32")
+        model, state, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(2), steps_per_epoch=10)
+        step_fn = TR.make_train_step(model, tx, cfg,
+                                     LossConfig(img_size=64))
+        batch = tiny_batch(np.random.RandomState(2))
+        s = state
+        for _ in range(3):
+            s, _ = step_fn(s, batch)
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(state.ema_params),
+                            jax.tree.leaves(s.ema_params)))
+        assert moved
+
+
+class TestDataParallel:
+    def test_train_step_under_mesh(self):
+        assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+        mesh = PM.make_mesh()
+        cfg = TrainConfig(tile_size=64, model_scale="n",
+                          compute_dtype="float32")
+        model, state, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(3))
+        step_fn = TR.make_train_step(model, tx, cfg,
+                                     LossConfig(img_size=64))
+        batch = tiny_batch(np.random.RandomState(3), B=8)
+        with mesh:
+            state_r = PM.replicate(state, mesh)
+            batch_s = PM.shard_batch(batch, mesh)
+            new_state, metrics = step_fn(state_r, batch_s)
+        assert np.isfinite(float(metrics["loss"]))
+
+        # gradient math must match the single-device result
+        state2, metrics2 = step_fn(state, batch)
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(metrics2["loss"]), rtol=1e-4)
+        l_a = np.asarray(jax.tree.leaves(new_state.params)[0])
+        l_b = np.asarray(jax.tree.leaves(state2.params)[0])
+        np.testing.assert_allclose(l_a, l_b, rtol=1e-4, atol=1e-6)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = TrainConfig(tile_size=64, model_scale="n",
+                          compute_dtype="float32")
+        model, state, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(4))
+        p = str(tmp_path / "ck.ckpt")
+        TR.save_checkpoint(p, state, {"epoch": 3})
+        ck = TR.load_checkpoint(p)
+        assert ck["extra"]["epoch"] == 3
+        v = TR.variables_from_checkpoint(p)
+        x = jnp.zeros((1, 64, 64, 3))
+        out = model.apply(v, x)
+        assert out["cls"][0].shape[-1] == 12
