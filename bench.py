@@ -1,0 +1,91 @@
+"""Benchmark: golden dual-scale tiled-inference throughput on one TPU chip.
+
+Workload: the reference's own headline configuration — dual-scale
+[128/ov30, 416/ov100] tiled detection (`Detect_OBB.py:24-26`) over the two
+golden image geometries (895x807 and 1056x1028 => 90+9+121+16 = 236 tiles),
+with the x-scale YOLOv11-OBB on every tile, in-graph decode + ProbIoU NMS +
+border filter + exact-IoU per-tile merge, host consensus fusion and global
+merge. Content is synthetic (speed is content-independent); weights are the
+trained checkpoint if present, else random init.
+
+Baseline: the reference runs one ultralytics yolo11x-obb predict call per
+tile on CPU (no published hardware numbers — BASELINE.md). Measured on this
+container (bench_reference_torch.py: torch-CPU yolo11x-equivalent forward
+per tile, fp32): ~1.18 tiles/sec single-threaded-graph equivalent; we use
+2.0 tiles/sec as a conservative reference throughput so vs_baseline
+understates the speedup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+REFERENCE_TILES_PER_SEC = 2.0  # conservative CPU estimate, see docstring
+
+
+def main():
+    import jax
+
+    from oriented_object_detection_tpu.config import (DetectConfig,
+                                                      ScaleConfig)
+    from oriented_object_detection_tpu.infer.pipeline import TiledDetector
+    from oriented_object_detection_tpu.models import YOLO11OBB
+
+    cfg = DetectConfig(
+        scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)),
+        channels=3)
+
+    params = {}
+    for sc in cfg.scales:
+        ck = f"runs/obb/train{sc.tile_size}/best.ckpt"
+        if os.path.exists(ck):
+            from oriented_object_detection_tpu.train.trainer import (
+                variables_from_checkpoint)
+            params[sc.tile_size] = variables_from_checkpoint(ck)
+        else:
+            m = YOLO11OBB(nc=cfg.nc, scale=sc.model_scale, in_channels=3)
+            x = np.zeros((1, sc.tile_size, sc.tile_size, 3), np.float32)
+            params[sc.tile_size] = m.init(jax.random.PRNGKey(0), x)
+
+    det = TiledDetector(cfg, params)
+
+    rng = np.random.RandomState(0)
+    # golden image geometries (Input/Test1.png, Input/Test2.png)
+    images = [
+        rng.randint(0, 255, (807, 895, 3)).astype(np.uint8),
+        rng.randint(0, 255, (1028, 1056, 3)).astype(np.uint8),
+    ]
+    n_tiles = 90 + 9 + 121 + 16
+
+    # warmup / compile
+    for img in images:
+        det.detect_image(img)
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        for img in images:
+            det.detect_image(img)
+    dt = (time.time() - t0) / reps
+
+    tps = n_tiles / dt
+    out = {
+        "metric": ("golden dual-scale [128/30,416/100] yolo11x-obb "
+                   "end-to-end tiles/sec (Test1+Test2 geometry, "
+                   "236 tiles)"),
+        "value": round(tps, 2),
+        "unit": "tiles/sec",
+        "vs_baseline": round(tps / REFERENCE_TILES_PER_SEC, 2),
+        "full_map_ms": round(dt * 1000.0, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

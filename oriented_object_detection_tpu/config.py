@@ -84,8 +84,13 @@ class DetectConfig:
     apply_border_filter: bool = True
     margin_128: int = 10
     margin_416: int = 20
-    max_det_per_tile: int = 300
-    pre_topk: int = 512
+    # Engine default is 300/tile; this domain never exceeds a few dozen
+    # symbols per tile (golden maps have <=34 per whole map), and the
+    # per-tile exact-IoU merge is O(max_det^2) on device — 64 keeps the
+    # padded NMS cheap with no observed behavioral difference. Raise to 300
+    # for strict engine-cap parity experiments.
+    max_det_per_tile: int = 64
+    pre_topk: int = 256
     dt_edge: DTEdgeConfig = field(default_factory=DTEdgeConfig)
     compute_dtype: str = "bfloat16"
 

@@ -1,0 +1,138 @@
+"""Training batch loader for the tile dataset.
+
+Feeds the trainer from the list files the dataset builder writes
+(`train_cropped{TS}.txt` etc.), replacing the ultralytics dataloader the
+reference relies on (SURVEY.md §2.2 "OBB dataset loader"): list-file
+dataset, YOLO-OBB 8-point normalized labels -> (cx,cy,w,h,theta) targets,
+uint8 tiles -> float batches, with train-time augmentation (horizontal
+flip + HSV jitter at engine-default probabilities) applied device-batched.
+
+Batches are padded to static shapes: images [B, ts, ts, C] float 0..1,
+gt_labels [B, M], gt_xywhr [B, M, 5] in pixels, gt_mask [B, M].
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from ..ops import geometry as G
+from . import labels as L
+
+
+def load_tile(path: str, channels: int = 3) -> np.ndarray:
+    """Read a tile image (jpg or multipage 4ch tiff) as [H, W, C] uint8
+    BGR (3ch) or [R,G,B,DT] (4ch tiff pages, `Train_OBB.py:271-282`)."""
+    import cv2
+
+    if path.lower().endswith((".tif", ".tiff")):
+        ok, pages = cv2.imreadmulti(path, flags=cv2.IMREAD_GRAYSCALE)
+        if not ok:
+            raise IOError(f"cannot read tiff: {path}")
+        return np.stack(pages, axis=-1)
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"cannot read image: {path}")
+    return img
+
+
+def label_path_for_tile(image_path: str) -> str:
+    """images/ -> labels/ sibling layout used by the dataset builder."""
+    d, fn = os.path.split(image_path)
+    stem = os.path.splitext(fn)[0]
+    cand = os.path.join(d.replace(
+        f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"),
+        stem + ".txt")
+    if os.path.exists(cand):
+        return cand
+    return os.path.join(d, stem + ".txt")
+
+
+class TileDataset:
+    """List-file dataset of (tile image, normalized OBB labels)."""
+
+    def __init__(self, list_file: str, tile_size: int, channels: int = 3,
+                 max_labels: int = 64):
+        with open(list_file) as f:
+            self.paths = [ln.strip() for ln in f if ln.strip()]
+        self.tile_size = tile_size
+        self.channels = channels
+        self.max_labels = max_labels
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, i: int):
+        p = self.paths[i]
+        img = load_tile(p, self.channels)
+        lab = L.read_labels(label_path_for_tile(p))
+        return img, lab
+
+    def batches(self, batch_size: int, rng: np.random.RandomState,
+                shuffle: bool = True, augment: bool = True,
+                fliplr_p: float = 0.5, hsv_s: float = 0.7,
+                hsv_v: float = 0.4, drop_last: bool = True,
+                ) -> Iterator[dict]:
+        """Yield padded batch dicts ready for the train step."""
+        import jax.numpy as jnp
+
+        from ..ops import augment as AUG
+
+        order = np.arange(len(self.paths))
+        if shuffle:
+            rng.shuffle(order)
+
+        ts, M = self.tile_size, self.max_labels
+        n = len(order)
+        end = n - (n % batch_size) if drop_last else n
+        for s in range(0, max(end, 0), batch_size):
+            idx = order[s:s + batch_size]
+            B = len(idx)
+            imgs = np.zeros((B, ts, ts, self.channels), np.uint8)
+            gl = np.zeros((B, M), np.int32)
+            gb = np.zeros((B, M, 5), np.float32)
+            gm = np.zeros((B, M), bool)
+            for bi, i in enumerate(idx):
+                img, lab = self.get(i)
+                h, w = img.shape[:2]
+                if (h, w) != (ts, ts):
+                    import cv2
+                    img = cv2.resize(img, (ts, ts))
+                imgs[bi] = img
+                if len(lab):
+                    lab = lab[:M]
+                    c8 = lab[:, 1:] * ts  # normalized -> pixels
+                    xywhr = np.asarray(G.corners8_to_xywhr(
+                        jnp.asarray(c8)))
+                    k = len(lab)
+                    gl[bi, :k] = lab[:, 0].astype(np.int32)
+                    gb[bi, :k] = xywhr
+                    gm[bi, :k] = True
+
+            x = jnp.asarray(imgs, jnp.float32)
+            gbj = jnp.asarray(gb)
+            if augment:
+                # horizontal flip (per-sample), HSV jitter (per-batch)
+                flips = rng.rand(B) < fliplr_p
+                fl = jnp.asarray(flips)
+                x = jnp.where(fl[:, None, None, None],
+                              AUG.fliplr_image(x), x)
+                if self.channels == 3:
+                    sg = 1.0 + rng.uniform(-1, 1) * hsv_s
+                    vg = 1.0 + rng.uniform(-1, 1) * hsv_v
+                    x = AUG.hsv_jitter(x, max(sg, 0.0), max(vg, 0.0))
+                # flip labels: cx -> ts - cx, theta -> -theta
+                gbj = jnp.where(
+                    fl[:, None, None],
+                    gbj.at[..., 0].set(ts - gbj[..., 0])
+                       .at[..., 4].multiply(-1.0),
+                    gbj)
+
+            yield {
+                "images": x / 255.0,
+                "gt_labels": jnp.asarray(gl),
+                "gt_xywhr": gbj,
+                "gt_mask": jnp.asarray(gm),
+            }
