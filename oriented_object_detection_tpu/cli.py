@@ -1,0 +1,209 @@
+"""Command-line entry points.
+
+Replaces the reference's edit-the-source configuration (`Train_OBB.py:19-42`,
+`Detect_OBB.py:23-72`) with argparse over the typed configs:
+
+  python -m oriented_object_detection_tpu.cli detect \
+      --input Input --output Output --ckpt128 runs/obb/train128/best.ckpt \
+      --ckpt416 runs/obb/train416/best.ckpt [--metrics] [--channels 4]
+
+  python -m oriented_object_detection_tpu.cli train \
+      --data-root datasets/GeoMap --tile-size 416 --overlap 100 \
+      --epochs 150 --batch-size 16 [--channels 4] [--scale x]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+
+def _detect(args):
+    import cv2  # noqa: F401  (fail early if unavailable)
+    import jax
+
+    from .config import DetectConfig, ScaleConfig
+    from .eval.metrics import run_fusion_eval
+    from .infer.pipeline import TiledDetector, process_image
+    from .models import YOLO11OBB
+    from .train.trainer import variables_from_checkpoint
+
+    scales = []
+    params = {}
+    for ts, ov, ck in ((128, 30, args.ckpt128), (416, 100, args.ckpt416)):
+        if ck is None:
+            continue
+        scales.append(ScaleConfig(ts, ov, checkpoint=ck,
+                                  model_scale=args.scale))
+        if os.path.exists(ck):
+            params[ts] = variables_from_checkpoint(ck)
+        else:
+            print(f"[WARN] checkpoint {ck} missing; random init")
+            m = YOLO11OBB(nc=12, scale=args.scale,
+                          in_channels=args.channels)
+            import jax.numpy as jnp
+            params[ts] = m.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, ts, ts, args.channels)))
+    if not scales:
+        raise SystemExit("provide --ckpt128 and/or --ckpt416")
+
+    cfg = DetectConfig(scales=tuple(scales), channels=args.channels,
+                       calculate_metrics=args.metrics)
+    det = TiledDetector(cfg, params)
+
+    os.makedirs(args.output, exist_ok=True)
+    t0 = time.time()
+    store: dict = {}
+    for fname in sorted(os.listdir(args.input)):
+        if fname.lower().endswith(
+                (".jpg", ".png", ".jpeg", ".tif", ".tiff")):
+            print(f"Processing {fname}...")
+            process_image(det, os.path.join(args.input, fname),
+                          args.output, store=store)
+            print(f"Results saved for {fname}")
+    print(f"--- {time.time() - t0:.2f} seconds ---")
+
+    if args.metrics:
+        try:
+            run_fusion_eval(store.get("pr", {}), args.input, args.output,
+                            iou_thr=cfg.metrics_iou,
+                            dets_map=store.get("map"),
+                            single_scale=len(scales) == 1)
+        except Exception as e:  # same guard as the reference main
+            print(f"[Eval] Skipped due to error: {e}")
+
+
+def _train(args):
+    import jax
+    import numpy as np
+
+    from .config import TrainConfig
+    from .data import dataset as DS
+    from .data.loader import TileDataset
+    from .parallel import mesh as PM
+    from .train import trainer as TR
+    from .train.loss import LossConfig
+
+    cfg = TrainConfig(
+        tile_size=args.tile_size, overlap=args.overlap,
+        epochs=args.epochs, batch_size=args.batch_size,
+        channels=args.channels, model_scale=args.scale,
+        need_cropping=not args.skip_cropping,
+        need_augmentation=not args.skip_augmentation)
+
+    root = args.data_root
+    ts = cfg.tile_size
+    dirs = {
+        "img": f"{root}/images/train", "lbl": f"{root}/labels/train",
+        "oimg": f"{root}/cropped{ts}/images/train",
+        "olbl": f"{root}/cropped{ts}/labels/train",
+        "vimg": f"{root}/images/val", "vlbl": f"{root}/labels/val",
+        "voimg": f"{root}/cropped{ts}/images/val",
+        "volbl": f"{root}/cropped{ts}/labels/val",
+    }
+    train_list = f"{root}/train_cropped{ts}.txt"
+    val_list = f"{root}/val_cropped{ts}.txt"
+
+    if cfg.need_cropping:
+        stats = DS.build_train_tiles(
+            dirs["img"], dirs["lbl"], dirs["oimg"], dirs["olbl"],
+            train_list, ts, cfg.overlap,
+            cfg.object_boundary_threshold)
+        if cfg.need_augmentation:
+            DS.balance_classes(
+                dirs["oimg"], dirs["olbl"], train_list,
+                cfg.class_balance_threshold, cfg.augmentation_repeats,
+                seed=cfg.seed)
+        P_post = DS.count_positives(dirs["olbl"])
+        E_total = stats["E_total"]
+        frac = min(1.0, cfg.r_target * P_post / E_total) \
+            if E_total > 0 else 0.0
+        print(f"[TRAIN] AUTO keep_fraction computed: {frac:.4f} "
+              f"(R_TARGET={cfg.r_target}, P_post={P_post:,}, "
+              f"E_total={E_total:,})")
+        DS.save_selected_empty_tiles(stats["empty_meta_path"], frac,
+                                     train_list, rng_seed=cfg.seed)
+        DS.build_val_tiles(
+            dirs["vimg"], dirs["vlbl"], dirs["voimg"], dirs["volbl"],
+            val_list, ts, cfg.overlap,
+            boundary_threshold=cfg.object_boundary_threshold,
+            r_target=cfg.r_target)
+
+    if cfg.channels == 4 and cfg.apply_filtered_rgb:
+        tr = DS.convert_folder_to_4ch_tiff(
+            dirs["oimg"], f"{root}/cropped4/images/train")
+        va = DS.convert_folder_to_4ch_tiff(
+            dirs["voimg"], f"{root}/cropped4/images/val")
+        DS.mirror_labels_by_stem(
+            dirs["olbl"], f"{root}/cropped4/labels/train",
+            [os.path.splitext(os.path.basename(p))[0] for p in tr])
+        DS.mirror_labels_by_stem(
+            dirs["volbl"], f"{root}/cropped4/labels/val",
+            [os.path.splitext(os.path.basename(p))[0] for p in va])
+        DS.update_list_file(f"{root}/train_cropped_4ch.txt", tr)
+        DS.update_list_file(f"{root}/val_cropped_4ch.txt", va)
+        train_list = f"{root}/train_cropped_4ch.txt"
+        val_list = f"{root}/val_cropped_4ch.txt"
+
+    train_ds = TileDataset(train_list, ts, cfg.channels)
+    val_ds = TileDataset(val_list, ts, cfg.channels)
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    print(f"[TRAIN] {len(train_ds)} train tiles, {len(val_ds)} val tiles, "
+          f"{steps_per_epoch} steps/epoch")
+
+    model, state, tx = TR.create_train_state(
+        cfg, jax.random.PRNGKey(cfg.seed), steps_per_epoch)
+    n_data = PM.best_data_axis_size(cfg.batch_size)
+    mesh = PM.make_mesh(n_data=n_data) if n_data > 1 else None
+
+    rng = np.random.RandomState(cfg.seed)
+
+    def train_batches(epoch):
+        return train_ds.batches(cfg.batch_size, rng, augment=True)
+
+    from .eval.val import validate_tiles
+
+    def val_fn(s):
+        return validate_tiles(model, s, val_ds, cfg)
+
+    ckpt_dir = args.ckpt_dir or f"runs/obb/train{ts}"
+    TR.fit(model, state, tx, cfg, train_batches, val_fn=val_fn,
+           ckpt_dir=ckpt_dir, mesh=mesh)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="oodt")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="tiled multi-scale OBB detection")
+    d.add_argument("--input", default="Input")
+    d.add_argument("--output", default="Output")
+    d.add_argument("--ckpt128")
+    d.add_argument("--ckpt416")
+    d.add_argument("--channels", type=int, default=3, choices=(3, 4))
+    d.add_argument("--scale", default="x")
+    d.add_argument("--metrics", action="store_true")
+    d.set_defaults(fn=_detect)
+
+    t = sub.add_parser("train", help="dataset build + training")
+    t.add_argument("--data-root", default="datasets/GeoMap")
+    t.add_argument("--tile-size", type=int, default=416)
+    t.add_argument("--overlap", type=int, default=100)
+    t.add_argument("--epochs", type=int, default=150)
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--channels", type=int, default=3, choices=(3, 4))
+    t.add_argument("--scale", default="x")
+    t.add_argument("--skip-cropping", action="store_true")
+    t.add_argument("--skip-augmentation", action="store_true")
+    t.add_argument("--ckpt-dir")
+    t.set_defaults(fn=_train)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Validation during training: batched tile inference -> mAP@0.5 fitness.
+
+The reference's trainer validates per epoch through the engine (ultralytics
+computes mAP on the val tile set and tracks fitness for best.pt/patience).
+Here val tiles run through the jitted decode+NMS path in batches and the
+exact-IoU mAP evaluator scores them; fitness = mAP@0.5 (the dominant term
+of the engine's fitness blend).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import TrainConfig
+from ..models import decode as D
+from . import metrics as M
+
+
+def validate_tiles(model, state, val_ds, cfg: TrainConfig,
+                   max_tiles: int | None = None,
+                   batch_size: int = 16, conf_thr: float = 0.001,
+                   use_ema: bool = True) -> float:
+    """mAP@0.5 of the current params over the val tile dataset."""
+    import jax
+    import jax.numpy as jnp
+
+    params = state.ema_params if use_ema else state.params
+    variables = {"params": params, "batch_stats": state.batch_stats}
+    ts = cfg.tile_size
+
+    @jax.jit
+    def infer(imgs):
+        out = model.apply(variables, imgs)
+        rbox, scores = D.decode_raw(out, ts)
+        return D.postprocess_batch(rbox, scores, conf_thr, 0.7,
+                                   max_det=64, pre_topk=256)
+
+    n = len(val_ds) if max_tiles is None else min(len(val_ds), max_tiles)
+    dets_per_image: dict = {}
+    gt_map: dict = {}
+
+    rng = np.random.RandomState(0)
+    order = np.arange(len(val_ds))
+    if max_tiles is not None and len(val_ds) > max_tiles:
+        rng.shuffle(order)
+    order = order[:n]
+
+    from ..ops import geometry as G
+
+    for s in range(0, n, batch_size):
+        idx = order[s:s + batch_size]
+        imgs = np.zeros((batch_size, ts, ts, cfg.channels), np.float32)
+        metas = []
+        for bi, i in enumerate(idx):
+            img, lab = val_ds.get(i)
+            if img.shape[:2] != (ts, ts):
+                import cv2
+                img = cv2.resize(img, (ts, ts))
+            imgs[bi] = img
+            key = val_ds.paths[i]
+            gt_map[key] = np.concatenate(
+                [lab[:, :1], lab[:, 1:] * ts], axis=1) \
+                if len(lab) else np.zeros((0, 9))
+            metas.append(key)
+        dets = infer(jnp.asarray(imgs) / 255.0)
+        c8 = np.asarray(dets["corners8"], np.float64)
+        cls = np.asarray(dets["cls"], np.float64)
+        conf = np.asarray(dets["conf"], np.float64)
+        valid = np.asarray(dets["valid"])
+        for bi, key in enumerate(metas):
+            sel = valid[bi]
+            rows = np.concatenate(
+                [c8[bi][sel], cls[bi][sel][:, None],
+                 conf[bi][sel][:, None],
+                 np.zeros((sel.sum(), 1))], axis=1)
+            dets_per_image[key] = rows
+
+    cache = M.GTCache(loader=lambda p: gt_map.get(p, np.zeros((0, 9))))
+    out = M.evaluate_map(dets_per_image, list(dets_per_image.keys()),
+                         [0.5], cache)
+    return float(out["mAP@0.5"])

@@ -106,6 +106,8 @@ def postprocess_batch(
     valid [B,max_det]."""
     conf = scores.max(-1)                              # [B, A]
     cls = scores.argmax(-1).astype(jnp.int32)
+    pre_topk = min(pre_topk, conf.shape[-1])
+    max_det = min(max_det, pre_topk)
 
     def one(rb, cf, cl):
         cand_conf, idx = jax.lax.top_k(cf, pre_topk)

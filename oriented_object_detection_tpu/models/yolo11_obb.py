@@ -49,7 +49,13 @@ def _n(base: int, depth: float) -> int:
 class OBBHead(nn.Module):
     """Per-level OBB detect head: box (4*reg_max DFL logits), cls (nc),
     angle (ne). Raw outputs; decoding lives in `decode.py` so training and
-    inference share it."""
+    inference share it.
+
+    Bias init follows the engine's `bias_init`: box final conv biases 1.0,
+    cls final conv biases log(5 / nc / (640/stride)^2) — so a freshly
+    initialized detector is sparse (sigmoid scores ~1e-4), which both
+    stabilizes early training and keeps the fixed-shape postprocess
+    realistic."""
 
     nc: int
     reg_max: int = 16
@@ -62,16 +68,22 @@ class OBBHead(nn.Module):
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         boxes, clss, angs = [], [], []
         for i, x in enumerate(feats):
+            stride = STRIDES[i]
+            cls_bias = float(math.log(5.0 / self.nc / (640.0 / stride) ** 2))
+
             b = ConvBN(self.c2, 3, name=f"cv2_{i}_0")(x, train)
             b = ConvBN(self.c2, 3, name=f"cv2_{i}_1")(b, train)
             b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{i}_2",
+                        bias_init=nn.initializers.constant(1.0),
                         dtype=x.dtype)(b)
 
             c = DWConv(x.shape[-1], 3, name=f"cv3_{i}_0_0")(x, train)
             c = ConvBN(self.c3, 1, name=f"cv3_{i}_0_1")(c, train)
             c = DWConv(self.c3, 3, name=f"cv3_{i}_1_0")(c, train)
             c = ConvBN(self.c3, 1, name=f"cv3_{i}_1_1")(c, train)
-            c = nn.Conv(self.nc, (1, 1), name=f"cv3_{i}_2", dtype=x.dtype)(c)
+            c = nn.Conv(self.nc, (1, 1), name=f"cv3_{i}_2",
+                        bias_init=nn.initializers.constant(cls_bias),
+                        dtype=x.dtype)(c)
 
             a = ConvBN(self.c4, 3, name=f"cv4_{i}_0")(x, train)
             a = ConvBN(self.c4, 3, name=f"cv4_{i}_1")(a, train)

@@ -243,8 +243,22 @@ def quad_iou_single(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def quad_iou_matrix(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise exact IoU matrix: q1 [N, 8], q2 [M, 8] -> [N, M]."""
-    return jax.vmap(lambda a: jax.vmap(lambda b: quad_iou_single(a, b))(q2))(q1)
+    """Pairwise exact IoU matrix: q1 [N, 8], q2 [M, 8] -> [N, M].
+
+    Row-chunked (lax.map over blocks of 128 rows) so the clipping
+    intermediates ([chunk, M, 16, 2] etc.) stay bounded for large N
+    instead of materializing O(N*M) buffers at once."""
+    n = q1.shape[0]
+    chunk = 128
+    row = jax.vmap(lambda a: jax.vmap(
+        lambda b: quad_iou_single(a, b))(q2))
+    if n <= chunk:
+        return row(q1)
+    pad = (-n) % chunk
+    q1p = jnp.pad(q1, ((0, pad), (0, 0)))
+    blocks = q1p.reshape(-1, chunk, q1.shape[-1])
+    out = jax.lax.map(row, blocks)
+    return out.reshape(-1, q2.shape[0])[:n]
 
 
 quad_iou_pairs = jax.jit(jax.vmap(quad_iou_single))  # [N,8],[N,8] -> [N]

@@ -55,3 +55,14 @@ def replicate(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def best_data_axis_size(batch_size: int,
+                        n_devices: Optional[int] = None) -> int:
+    """Largest device count <= n_devices that divides the batch size
+    (sharded dims must divide evenly)."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    for d in range(min(n, batch_size), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1

@@ -1,0 +1,59 @@
+"""CLI integration: dataset build + 1-epoch training + detection on a
+synthetic corpus with a tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+from oriented_object_detection_tpu import cli
+from oriented_object_detection_tpu.data import labels as L
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def data_root(tmp_path):
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        (tmp_path / "images" / split).mkdir(parents=True)
+        (tmp_path / "labels" / split).mkdir(parents=True)
+        for k in range(2):
+            h, w = 160, 200
+            img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+            cv2.imwrite(str(tmp_path / "images" / split /
+                            f"m{k}.png"), img)
+            rows = []
+            for cls, cx, cy in [(0, 40, 40), (1, 120, 90)]:
+                bw, bh = 22, 16
+                c8 = np.array([cx - bw / 2, cy - bh / 2, cx + bw / 2,
+                               cy - bh / 2, cx + bw / 2, cy + bh / 2,
+                               cx - bw / 2, cy + bh / 2], np.float64)
+                c8[0::2] /= w
+                c8[1::2] /= h
+                rows.append([cls] + list(c8))
+            L.write_labels(str(tmp_path / "labels" / split /
+                               f"m{k}.txt"), np.asarray(rows))
+    return tmp_path
+
+
+def test_train_then_detect(data_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "run")
+    cli.main([
+        "train", "--data-root", str(data_root), "--tile-size", "64",
+        "--overlap", "16", "--epochs", "1", "--batch-size", "4",
+        "--scale", "n", "--ckpt-dir", ckpt_dir,
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "last.ckpt"))
+    assert os.path.exists(os.path.join(ckpt_dir, "best.ckpt"))
+
+    out_dir = str(tmp_path / "out")
+    cli.main([
+        "detect", "--input", str(data_root / "images" / "val"),
+        "--output", out_dir, "--ckpt416",
+        os.path.join(ckpt_dir, "best.ckpt"), "--scale", "n",
+    ])
+    outs = os.listdir(out_dir)
+    assert any(f.endswith("_detected.jpg") for f in outs)
+    assert any(f.endswith(".xlsx") for f in outs)
