@@ -39,13 +39,22 @@ def _pad_to_bucket(n: int, minimum: int = 16) -> int:
 
 
 def exact_iou_matrix_host(c8a: np.ndarray, c8b: np.ndarray) -> np.ndarray:
-    """Exact pairwise quad IoU for host code, computed on device in one
-    padded call (bucketed shapes to bound recompiles)."""
-    import jax.numpy as jnp
+    """Exact pairwise quad IoU for host code.
 
+    Prefers the native C++ library (double precision, no device round-trip
+    or shape-bucket recompiles); falls back to a bucketed device call."""
     na, nb = len(c8a), len(c8b)
     if na == 0 or nb == 0:
         return np.zeros((na, nb), dtype=np.float64)
+
+    from ..utils import native
+
+    m = native.quad_iou_matrix(np.asarray(c8a), np.asarray(c8b))
+    if m is not None:
+        return m
+
+    import jax.numpy as jnp
+
     pa, pb = _pad_to_bucket(na), _pad_to_bucket(nb)
     qa = np.zeros((pa, 8), dtype=np.float64)
     qb = np.zeros((pb, 8), dtype=np.float64)

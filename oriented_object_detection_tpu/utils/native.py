@@ -1,0 +1,89 @@
+"""ctypes loader for the native host geometry library (native/geom.cpp).
+
+Builds `libgeomobb.so` on first use (make -C native) and exposes
+exact quad IoU matrices and greedy NMS to the host-side fusion/metrics
+paths. Falls back to None when no toolchain is available — callers must
+handle a None return and use the device path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, "libgeomobb.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.quad_iou.restype = ctypes.c_double
+    lib.quad_iou.argtypes = [ctypes.POINTER(ctypes.c_double)] * 2
+    lib.quad_iou_matrix.restype = None
+    lib.quad_iou_matrix.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.greedy_nms.restype = ctypes.c_int
+    lib.greedy_nms.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int)]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def quad_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """Exact pairwise IoU [n, m] in double precision; None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.float64).reshape(-1, 8)
+    b = np.ascontiguousarray(b, dtype=np.float64).reshape(-1, 8)
+    out = np.empty((len(a), len(b)), dtype=np.float64)
+    if out.size:
+        lib.quad_iou_matrix(_dp(a), len(a), _dp(b), len(b), _dp(out))
+    return out
+
+
+def greedy_nms(dets: np.ndarray, iou_thr: float) -> np.ndarray | None:
+    """Greedy class-aware NMS over [n, 11] dets; returns kept indices in
+    conf-descending order, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(dets, dtype=np.float64).reshape(-1, 11)
+    keep = np.empty(len(d), dtype=np.int32)
+    cnt = lib.greedy_nms(_dp(d), len(d), float(iou_thr),
+                         keep.ctypes.data_as(
+                             ctypes.POINTER(ctypes.c_int)))
+    return keep[:cnt]
