@@ -58,11 +58,23 @@ class TiledDetector:
     def __init__(self, cfg: DetectConfig,
                  params_by_scale: dict[int, dict],
                  max_det: Optional[int] = None,
-                 pre_topk: Optional[int] = None):
+                 pre_topk: Optional[int] = None,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — the tile batch is sharded
+        over its `data` axis (params replicated), scaling inference across
+        chips exactly like the training DP path (SURVEY.md §2.4)."""
         self.cfg = cfg
         self.params = params_by_scale
         self.max_det = max_det or cfg.max_det_per_tile
         self.pre_topk = pre_topk or cfg.pre_topk
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as PM
+
+            self.params = {
+                k: PM.replicate(v, mesh)
+                for k, v in params_by_scale.items()
+            }
         self.models = {
             sc.tile_size: YOLO11OBB(
                 nc=cfg.nc, scale=sc.model_scale, in_channels=cfg.channels)
@@ -121,7 +133,9 @@ class TiledDetector:
         ts = scale.tile_size
         grid = T.inference_tile_grid(h, w, ts, scale.overlap)
         tcount = len(grid)
-        tb = _bucket(tcount)
+        n_shards = (self.mesh.shape.get("data", 1)
+                    if self.mesh is not None else 1)
+        tb = max(_bucket(tcount), n_shards)
 
         grid_p = np.zeros((tb, 4), np.int32)
         grid_p[:tcount] = grid
@@ -130,13 +144,22 @@ class TiledDetector:
 
         tiles = T.extract_tiles(
             jnp.asarray(image_bgr), jnp.asarray(grid_p[:, :2]), ts)
+        grid_j = jnp.asarray(grid_p)
+        valid_j = jnp.asarray(tile_valid)
+        if self.mesh is not None:
+            from ..parallel import mesh as PM
+
+            sh = PM.batch_sharding(self.mesh)
+            tiles = jax.device_put(tiles, sh)
+            grid_j = jax.device_put(grid_j, sh)
+            valid_j = jax.device_put(valid_j, sh)
 
         conf_thr = (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
                     else self.cfg.conf_thr_predict)
         run = self._tile_fn(ts)
         c8, cls, conf, ang, keep = run(
-            self.params[ts], tiles, jnp.asarray(grid_p),
-            jnp.asarray(tile_valid), jnp.float32(conf_thr))
+            self.params[ts], tiles, grid_j, valid_j,
+            jnp.float32(conf_thr))
 
         c8 = np.asarray(c8, np.float64)
         cls = np.asarray(cls)
