@@ -70,11 +70,86 @@ class TileDataset:
         lab = L.read_labels(label_path_for_tile(p))
         return img, lab
 
+    def _get_sized(self, i: int):
+        """Tile resized to (ts, ts) with labels in PIXEL corner coords."""
+        import cv2
+
+        ts = self.tile_size
+        img, lab = self.get(i)
+        if img.shape[:2] != (ts, ts):
+            img = cv2.resize(img, (ts, ts))
+        c8 = lab[:, 1:] * ts if len(lab) else np.zeros((0, 8))
+        cls = lab[:, 0] if len(lab) else np.zeros((0,))
+        return img, cls, c8
+
+    def mosaic4(self, i: int, rng: np.random.RandomState):
+        """4-tile mosaic + random scale/translate affine back to (ts, ts),
+        engine-style (mosaic=1.0, scale=0.5, translate=0.1). Returns
+        (image uint8 [ts,ts,C], cls [N], corners8 px [N,8])."""
+        import cv2
+
+        ts = self.tile_size
+        idxs = [i] + list(rng.randint(0, len(self.paths), 3))
+        canvas = np.full((2 * ts, 2 * ts, self.channels), 114, np.uint8)
+        yc = int(rng.uniform(0.5 * ts, 1.5 * ts))
+        xc = int(rng.uniform(0.5 * ts, 1.5 * ts))
+        cls_all, c8_all = [], []
+        for k, idx in enumerate(idxs):
+            img, cls, c8 = self._get_sized(idx)
+            if k == 0:    # top-left of center
+                x1a, y1a = max(xc - ts, 0), max(yc - ts, 0)
+                x2a, y2a = xc, yc
+                x1b, y1b = ts - (x2a - x1a), ts - (y2a - y1a)
+            elif k == 1:  # top-right
+                x1a, y1a = xc, max(yc - ts, 0)
+                x2a, y2a = min(xc + ts, 2 * ts), yc
+                x1b, y1b = 0, ts - (y2a - y1a)
+            elif k == 2:  # bottom-left
+                x1a, y1a = max(xc - ts, 0), yc
+                x2a, y2a = xc, min(yc + ts, 2 * ts)
+                x1b, y1b = ts - (x2a - x1a), 0
+            else:         # bottom-right
+                x1a, y1a = xc, yc
+                x2a, y2a = min(xc + ts, 2 * ts), min(yc + ts, 2 * ts)
+                x1b, y1b = 0, 0
+            x2b, y2b = x1b + (x2a - x1a), y1b + (y2a - y1a)
+            canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            if len(c8):
+                shifted = c8.copy()
+                shifted[:, 0::2] += x1a - x1b
+                shifted[:, 1::2] += y1a - y1b
+                cls_all.append(cls)
+                c8_all.append(shifted)
+
+        cls_m = np.concatenate(cls_all) if cls_all else np.zeros((0,))
+        c8_m = np.concatenate(c8_all) if c8_all else np.zeros((0, 8))
+
+        # affine: scale U(0.5, 1.5), translate +-0.1, output ts x ts
+        s = rng.uniform(0.5, 1.5)
+        tx = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
+        ty = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
+        M = np.array([[s, 0, tx], [0, s, ty]], np.float32)
+        out = cv2.warpAffine(canvas, M, (ts, ts),
+                             borderValue=(114,) * self.channels)
+        if out.ndim == 2:
+            out = out[..., None]
+        if len(c8_m):
+            pts = c8_m.reshape(-1, 4, 2)
+            pts = pts * s + np.array([tx, ty])
+            c8_m = pts.reshape(-1, 8)
+            cx = c8_m[:, 0::2].mean(1)
+            cy = c8_m[:, 1::2].mean(1)
+            wh_ok = (np.ptp(c8_m[:, 0::2], axis=1) > 2) & \
+                    (np.ptp(c8_m[:, 1::2], axis=1) > 2)
+            keep = (cx >= 0) & (cx < ts) & (cy >= 0) & (cy < ts) & wh_ok
+            cls_m, c8_m = cls_m[keep], c8_m[keep]
+        return out, cls_m, c8_m
+
     def batches(self, batch_size: int, rng: np.random.RandomState,
                 shuffle: bool = True, augment: bool = True,
-                fliplr_p: float = 0.5, hsv_s: float = 0.7,
-                hsv_v: float = 0.4, drop_last: bool = True,
-                ) -> Iterator[dict]:
+                mosaic_p: float = 1.0, fliplr_p: float = 0.5,
+                hsv_s: float = 0.7, hsv_v: float = 0.4,
+                drop_last: bool = True) -> Iterator[dict]:
         """Yield padded batch dicts ready for the train step."""
         import jax.numpy as jnp
 
@@ -95,19 +170,17 @@ class TileDataset:
             gb = np.zeros((B, M, 5), np.float32)
             gm = np.zeros((B, M), bool)
             for bi, i in enumerate(idx):
-                img, lab = self.get(i)
-                h, w = img.shape[:2]
-                if (h, w) != (ts, ts):
-                    import cv2
-                    img = cv2.resize(img, (ts, ts))
+                if augment and rng.rand() < mosaic_p:
+                    img, cls, c8 = self.mosaic4(i, rng)
+                else:
+                    img, cls, c8 = self._get_sized(i)
                 imgs[bi] = img
-                if len(lab):
-                    lab = lab[:M]
-                    c8 = lab[:, 1:] * ts  # normalized -> pixels
+                if len(cls):
+                    cls, c8 = cls[:M], c8[:M]
                     xywhr = np.asarray(G.corners8_to_xywhr(
                         jnp.asarray(c8)))
-                    k = len(lab)
-                    gl[bi, :k] = lab[:, 0].astype(np.int32)
+                    k = len(cls)
+                    gl[bi, :k] = cls.astype(np.int32)
                     gb[bi, :k] = xywhr
                     gm[bi, :k] = True
 
