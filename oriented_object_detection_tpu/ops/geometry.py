@@ -121,17 +121,20 @@ def _poly_area_masked(pts: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(terms.sum()) * 0.5
 
 
-def _clip_halfplane(pts: jnp.ndarray, n: jnp.ndarray, a: jnp.ndarray,
-                    b: jnp.ndarray):
-    """Clip polygon (pts[_MAXV,2], count n) by half-plane left-of a->b.
+def _clip_halfplane(pts: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+    """Clip polygon pts [S, 2] (cyclic, duplicate vertices allowed) by the
+    half-plane left-of a->b. Returns ([2S, 2] polygon, empty flag).
 
-    Returns (new_pts[_MAXV,2], new_n). Fixed shapes; vertices stay ordered.
+    Sort-free fixed-shape Sutherland-Hodgman: each directed edge emits two
+    candidate slots (crossing point, then endpoint-if-inside); absent slots
+    are forward-filled with the previous emitted vertex (cummax gather),
+    and leading absent slots wrap to the LAST emitted vertex — duplicates
+    are adjacent repeats in cyclic order, contributing zero shoelace area.
+    This avoids the per-pair argsort compaction that dominated the NMS
+    kernel's runtime on TPU.
     """
-    idx = jnp.arange(_MAXV)
-    nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
-    s = pts                     # segment starts
-    e = pts[nxt]                # segment ends
-    edge_valid = idx < n
+    s = pts
+    e = jnp.roll(pts, -1, axis=0)
 
     ab = b - a
     d_s = ab[0] * (s[:, 1] - a[1]) - ab[1] * (s[:, 0] - a[0])
@@ -144,18 +147,24 @@ def _clip_halfplane(pts: jnp.ndarray, n: jnp.ndarray, a: jnp.ndarray,
     t = jnp.clip(d_s / safe, 0.0, 1.0)
     inter = s + t[:, None] * (e - s)
 
-    # Sutherland-Hodgman emission order per directed edge s->e:
-    #   crossing point first (if sides differ), then e (if e inside).
-    cand = jnp.stack([inter, e], axis=1).reshape(2 * _MAXV, 2)
-    m_cross = edge_valid & (in_s != in_e)
-    m_end = edge_valid & in_e
-    mask = jnp.stack([m_cross, m_end], axis=1).reshape(2 * _MAXV)
+    cand = jnp.stack([inter, e], axis=1).reshape(-1, 2)   # [2S, 2]
+    mask = jnp.stack([in_s != in_e, in_e], axis=1).reshape(-1)
 
-    # Stable compaction: valid candidates first, order preserved.
-    order = jnp.argsort(~mask, stable=True)
-    new_pts = cand[order][:_MAXV]
-    new_n = jnp.minimum(mask.sum(), _MAXV)
-    return new_pts, new_n
+    n2 = cand.shape[0]
+    idx = jnp.arange(n2)
+    idx_valid = jnp.where(mask, idx, -1)
+    fill = jax.lax.associative_scan(jnp.maximum, idx_valid)   # cummax
+    last = idx_valid.max()
+    sel = jnp.where(fill >= 0, fill, jnp.maximum(last, 0))
+    out = cand[sel]
+    return out, ~mask.any()
+
+
+def _poly_area_cyclic(pts: jnp.ndarray) -> jnp.ndarray:
+    """Shoelace area of a cyclic vertex list (duplicates allowed)."""
+    nxt = jnp.roll(pts, -1, axis=0)
+    return jnp.abs(
+        (pts[:, 0] * nxt[:, 1] - nxt[:, 0] * pts[:, 1]).sum()) * 0.5
 
 
 def _tri_tri_inter_area(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
@@ -167,11 +176,12 @@ def _tri_tri_inter_area(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
 
     t1 = ccw(t1)
     t2 = ccw(t2)
-    pts = jnp.zeros((_MAXV, 2), dtype=t1.dtype).at[:3].set(t1)
-    n = jnp.asarray(3, dtype=jnp.int32)
+    pts = t1
+    empty = jnp.asarray(False)
     for k in range(3):
-        pts, n = _clip_halfplane(pts, n, t2[k], t2[(k + 1) % 3])
-    return _poly_area_masked(pts, n)
+        pts, emp = _clip_halfplane(pts, t2[k], t2[(k + 1) % 3])
+        empty = empty | emp
+    return jnp.where(empty, 0.0, _poly_area_cyclic(pts))
 
 
 def _quad_triangles(pts: jnp.ndarray) -> jnp.ndarray:
