@@ -171,7 +171,7 @@ def _train(args):
 
     ckpt_dir = args.ckpt_dir or f"runs/obb/train{ts}"
     TR.fit(model, state, tx, cfg, train_batches, val_fn=val_fn,
-           ckpt_dir=ckpt_dir, mesh=mesh)
+           ckpt_dir=ckpt_dir, mesh=mesh, resume=args.resume)
 
 
 def main(argv=None):
@@ -198,6 +198,8 @@ def main(argv=None):
     t.add_argument("--scale", default="x")
     t.add_argument("--skip-cropping", action="store_true")
     t.add_argument("--skip-augmentation", action="store_true")
+    t.add_argument("--resume", action="store_true",
+                   help="resume from <ckpt-dir>/last.ckpt")
     t.add_argument("--ckpt-dir")
     t.set_defaults(fn=_train)
 

@@ -169,19 +169,43 @@ def variables_from_checkpoint(path: str, use_ema: bool = True) -> dict:
 # Epoch loop with patience / best tracking
 # ---------------------------------------------------------------------------
 
+def restore_train_state(path: str, state: TrainState) -> TrainState:
+    """Resume: load params/EMA/batch_stats/step from a checkpoint into a
+    freshly-created state (optimizer state restarts; the lr schedule picks
+    up from the restored step)."""
+    ck = load_checkpoint(path)
+    return state.replace(
+        step=jnp.asarray(ck["step"], jnp.int32),
+        params=jax.tree.map(jnp.asarray, ck["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, ck["batch_stats"]),
+        ema_params=jax.tree.map(jnp.asarray, ck["ema_params"]),
+    )
+
+
 def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         val_fn=None, ckpt_dir: str = "runs/obb/train", mesh=None,
-        log_every: int = 10):
+        log_every: int = 10, resume: bool = False):
     """Simple epoch loop: `train_batches` yields (epoch iterable of batch
     dicts); `val_fn(state) -> float` returns a fitness score (higher
     better). Early-stops after `cfg.patience` epochs without improvement;
-    writes best.ckpt / last.ckpt."""
+    writes best.ckpt / last.ckpt. `resume=True` restores last.ckpt from
+    ckpt_dir if present."""
     step_fn = make_train_step(model, tx, cfg, LossConfig(
         nc=cfg.nc, img_size=cfg.tile_size, box_gain=cfg.box_gain,
         cls_gain=cfg.cls_gain, dfl_gain=cfg.dfl_gain))
 
+    start_epoch = 0
     best, best_epoch = -float("inf"), -1
-    for epoch in range(cfg.epochs):
+    last_path = os.path.join(ckpt_dir, "last.ckpt")
+    if resume and os.path.exists(last_path):
+        ck = load_checkpoint(last_path)
+        state = restore_train_state(last_path, state)
+        start_epoch = int(ck["extra"].get("epoch", -1)) + 1
+        best = float(ck["extra"].get("best_fitness", best))
+        best_epoch = int(ck["extra"].get("best_epoch", best_epoch))
+        print(f"[Resume] from {last_path} @ epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.epochs):
         for i, batch in enumerate(train_batches(epoch)):
             if mesh is not None:
                 batch = PM.shard_batch(batch, mesh)
@@ -193,12 +217,13 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
                       f"cls={float(metrics['cls']):.4f} "
                       f"dfl={float(metrics['dfl']):.4f}")
         fitness = float(val_fn(state)) if val_fn is not None else 0.0
-        save_checkpoint(os.path.join(ckpt_dir, "last.ckpt"), state,
-                        {"epoch": epoch, "fitness": fitness})
         if fitness > best:
             best, best_epoch = fitness, epoch
             save_checkpoint(os.path.join(ckpt_dir, "best.ckpt"), state,
                             {"epoch": epoch, "fitness": fitness})
+        save_checkpoint(os.path.join(ckpt_dir, "last.ckpt"), state,
+                        {"epoch": epoch, "fitness": fitness,
+                         "best_fitness": best, "best_epoch": best_epoch})
         if epoch - best_epoch >= cfg.patience:
             print(f"[EarlyStop] no improvement for {cfg.patience} epochs "
                   f"(best fitness {best:.4f} @ epoch {best_epoch})")
