@@ -76,6 +76,11 @@ def merge_detections(dets: np.ndarray, iou_threshold: float = 0.4,
     if n == 0:
         return dets
     if iou is None:
+        from ..utils import native
+
+        keep = native.greedy_nms(dets, float(iou_threshold))
+        if keep is not None:
+            return dets[keep]
         iou = exact_iou_matrix_host(dets[:, :8], dets[:, :8])
 
     # stable conf-descending order (ties keep input order, like list.sort)

@@ -113,13 +113,14 @@ class TiledDetector:
                 valid = valid & T.border_keep_mask(
                     centers, tiles_xywh, margin)
 
-            keep = NMS.nms_keep_mask_batched(
-                c8g, dets["cls"], dets["conf"], valid, cfg.merge_iou,
-                use_exact=True)
-
             ang = jnp.where(dets["cls"] == STRIKE_CLS,
                             G.strike_angle(c8g), 0.0)
-            return c8g, dets["cls"], dets["conf"], ang, keep
+            # The per-tile exact-IoU merge (`Detect_OBB.py:264`) runs on
+            # the HOST over the handful of surviving dets per tile (native
+            # C++ double precision): a sequential greedy over <=max_det
+            # tiny sets is host work; keeping it in-graph as a padded
+            # O(max_det^2) clipping kernel dominated device time.
+            return c8g, dets["cls"], dets["conf"], ang, valid
 
         self._fns[tile_size] = run
         return run
@@ -157,23 +158,28 @@ class TiledDetector:
         conf_thr = (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
                     else self.cfg.conf_thr_predict)
         run = self._tile_fn(ts)
-        c8, cls, conf, ang, keep = run(
+        c8, cls, conf, ang, valid = run(
             self.params[ts], tiles, grid_j, valid_j,
             jnp.float32(conf_thr))
 
         c8 = np.asarray(c8, np.float64)
-        cls = np.asarray(cls)
+        cls = np.asarray(cls, np.float64)
         conf = np.asarray(conf, np.float64)
         ang = np.asarray(ang, np.float64)
-        keep = np.asarray(keep)
+        valid = np.asarray(valid)
 
+        # host-side per-tile exact-IoU merge (`Detect_OBB.py:264`),
+        # preserving tile scan order and conf-desc order within tiles
         rows = []
         for t in range(tcount):
-            sel = np.where(keep[t])[0]  # already conf-desc within tile
-            for i in sel:
-                rows.append(np.concatenate([
-                    c8[t, i], [float(cls[t, i]), conf[t, i], ang[t, i]]]))
-        return (np.stack(rows) if rows
+            sel = np.where(valid[t])[0]  # conf-desc from compact_topk
+            if not len(sel):
+                continue
+            dets_t = np.concatenate(
+                [c8[t, sel], cls[t, sel, None], conf[t, sel, None],
+                 ang[t, sel, None]], axis=1)
+            rows.append(F.merge_detections(dets_t, self.cfg.merge_iou))
+        return (np.concatenate(rows) if rows
                 else np.zeros((0, F.DET_WIDTH), np.float64))
 
     # ------------------------------------------------------------------
