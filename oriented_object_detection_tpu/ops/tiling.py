@@ -95,6 +95,22 @@ def extract_tiles(image: jnp.ndarray, starts_xy: jnp.ndarray,
     return jax.vmap(one)(starts_xy)
 
 
+@partial(jax.jit, static_argnames=("tile_size",))
+def extract_tiles_rowgather(image: jnp.ndarray, starts_xy: jnp.ndarray,
+                            tile_size: int) -> jnp.ndarray:
+    """Alternative tile gather: one row-gather + one col-gather instead of
+    a vmapped dynamic_slice (A/B choice for TPU; identical results)."""
+    ts = tile_size
+    padded = jnp.pad(
+        image, ((0, ts), (0, ts), (0, 0)), constant_values=PAD_VALUE)
+    iy = jnp.arange(ts, dtype=starts_xy.dtype)
+    rows = starts_xy[:, 1][:, None] + iy          # [T, ts]
+    cols = starts_xy[:, 0][:, None] + iy          # [T, ts]
+    strips = padded[rows]                          # [T, ts, Wp, C]
+    return jnp.take_along_axis(
+        strips, cols[:, None, :, None], axis=2)
+
+
 def stitch_to_global(corners8_tile: jnp.ndarray, starts_xy: jnp.ndarray
                      ) -> jnp.ndarray:
     """Shift tile-local corner coords [T, N, 8] to global by tile origins

@@ -174,3 +174,15 @@ class TestLabelAssignment:
         out = T.assign_labels_to_tiles(
             np.zeros((0, 9)), np.array([[0, 0]]), 100, 0.1)
         assert len(out) == 1 and out[0].shape == (0, 9)
+
+
+class TestExtractVariants:
+    def test_rowgather_matches_dynamic_slice(self):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+        grid = T.inference_tile_grid(100, 120, 64, 16)
+        a = np.asarray(T.extract_tiles(
+            jnp.asarray(img), jnp.asarray(grid[:, :2]), 64))
+        b = np.asarray(T.extract_tiles_rowgather(
+            jnp.asarray(img), jnp.asarray(grid[:, :2]), 64))
+        np.testing.assert_array_equal(a, b)
