@@ -41,6 +41,44 @@ from . import fusion as F
 STRIKE_CLS = 1  # "Strike" (`Detect_OBB.py:45`, angle only for this class)
 
 
+class Detections:
+    """ultralytics-Results-like accessor over [N, 11] detection rows
+    (migration aid: `results[0].obb.xyxyxyxy/.cls/.conf`,
+    `Detect_OBB.py:228-231`)."""
+
+    def __init__(self, rows: np.ndarray):
+        self.rows = np.asarray(rows, np.float64).reshape(-1, 11)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __iter__(self):
+        for r in self.rows:
+            yield Detections(r[None])
+
+    @property
+    def xyxyxyxy(self) -> np.ndarray:
+        """[N, 4, 2] corner points."""
+        return self.rows[:, :8].reshape(-1, 4, 2)
+
+    @property
+    def cls(self) -> np.ndarray:
+        return self.rows[:, 8].astype(np.int64)
+
+    @property
+    def conf(self) -> np.ndarray:
+        return self.rows[:, 9]
+
+    @property
+    def angle(self) -> np.ndarray:
+        """Strike angle in degrees (0 for non-Strike classes)."""
+        return self.rows[:, 10]
+
+    @property
+    def names(self) -> dict:
+        return CLASS_NAMES
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     b = minimum
     while b < n:

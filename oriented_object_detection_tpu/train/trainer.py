@@ -205,7 +205,12 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         best_epoch = int(ck["extra"].get("best_epoch", best_epoch))
         print(f"[Resume] from {last_path} @ epoch {start_epoch}")
 
+    from ..utils.plots import ResultsWriter
+
+    results = ResultsWriter(ckpt_dir)
     for epoch in range(start_epoch, cfg.epochs):
+        sums = {"loss": 0.0, "box": 0.0, "cls": 0.0, "dfl": 0.0}
+        count = 0
         for i, batch in enumerate(train_batches(epoch)):
             if mesh is not None:
                 batch = PM.shard_batch(batch, mesh)
@@ -216,7 +221,13 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
                       f"box={float(metrics['box']):.4f} "
                       f"cls={float(metrics['cls']):.4f} "
                       f"dfl={float(metrics['dfl']):.4f}")
+            for k in sums:
+                sums[k] += float(metrics[k])
+            count += 1
         fitness = float(val_fn(state)) if val_fn is not None else 0.0
+        results.append(
+            epoch=epoch, fitness=fitness,
+            **{k: (sums[k] / max(count, 1)) for k in sums})
         if fitness > best:
             best, best_epoch = fitness, epoch
             save_checkpoint(os.path.join(ckpt_dir, "best.ckpt"), state,
