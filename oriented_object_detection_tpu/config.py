@@ -91,6 +91,9 @@ class DetectConfig:
     # for strict engine-cap parity experiments.
     max_det_per_tile: int = 64
     pre_topk: int = 256
+    # per-map device-side compaction cap (one D2H fetch per scale); raise
+    # for metrics-mode runs on dense maps if the valid count ever hits it
+    max_det_per_map: int = 1024
     dt_edge: DTEdgeConfig = field(default_factory=DTEdgeConfig)
     compute_dtype: str = "bfloat16"
 

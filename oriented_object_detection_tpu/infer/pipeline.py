@@ -153,21 +153,41 @@ class TiledDetector:
 
             ang = jnp.where(dets["cls"] == STRIKE_CLS,
                             G.strike_angle(c8g), 0.0)
+
             # The per-tile exact-IoU merge (`Detect_OBB.py:264`) runs on
             # the HOST over the handful of surviving dets per tile (native
             # C++ double precision): a sequential greedy over <=max_det
             # tiny sets is host work; keeping it in-graph as a padded
             # O(max_det^2) clipping kernel dominated device time.
-            return c8g, dets["cls"], dets["conf"], ang, valid
+            #
+            # Pack + compact to ONE [K, 13] array on device: each D2H
+            # fetch costs ~35-70 ms of RPC latency through the TPU tunnel,
+            # so five per-field fetches of [T, max_det] arrays dominated
+            # the per-scale wall time.
+            T_b, Nd = valid.shape
+            tile_id = jnp.broadcast_to(
+                jnp.arange(T_b, dtype=jnp.float32)[:, None], (T_b, Nd))
+            flat = jnp.concatenate([
+                c8g.reshape(T_b * Nd, 8).astype(jnp.float32),
+                dets["cls"].reshape(-1, 1).astype(jnp.float32),
+                dets["conf"].reshape(-1, 1).astype(jnp.float32),
+                ang.reshape(-1, 1).astype(jnp.float32),
+                valid.reshape(-1, 1).astype(jnp.float32),
+                tile_id.reshape(-1, 1),
+            ], axis=1)                                    # [T*Nd, 13]
+            k = min(self.cfg.max_det_per_map, T_b * Nd)
+            key = jnp.where(valid.reshape(-1), dets["conf"].reshape(-1),
+                            -1.0)
+            _, top = jax.lax.top_k(key, k)
+            return flat[top]
 
         self._fns[tile_size] = run
         return run
 
     # ------------------------------------------------------------------
-    def detect_scale(self, image_bgr: np.ndarray, scale: ScaleConfig
-                     ) -> np.ndarray:
-        """All detections for one scale as [N, 11] rows, in the reference's
-        order (tile scan order, conf-descending within each tile)."""
+    def _dispatch_scale(self, image_bgr: np.ndarray, scale: ScaleConfig):
+        """Launch the jitted per-scale program asynchronously; returns the
+        device array ([K, 13] packed dets) for later collection."""
         h, w = image_bgr.shape[:2]
         ts = scale.tile_size
         grid = T.inference_tile_grid(h, w, ts, scale.overlap)
@@ -196,29 +216,34 @@ class TiledDetector:
         conf_thr = (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
                     else self.cfg.conf_thr_predict)
         run = self._tile_fn(ts)
-        c8, cls, conf, ang, valid = run(
-            self.params[ts], tiles, grid_j, valid_j,
-            jnp.float32(conf_thr))
+        return run(self.params[ts], tiles, grid_j, valid_j,
+                   jnp.float32(conf_thr))
 
-        c8 = np.asarray(c8, np.float64)
-        cls = np.asarray(cls, np.float64)
-        conf = np.asarray(conf, np.float64)
-        ang = np.asarray(ang, np.float64)
-        valid = np.asarray(valid)
-
-        # host-side per-tile exact-IoU merge (`Detect_OBB.py:264`),
-        # preserving tile scan order and conf-desc order within tiles
+    @staticmethod
+    def _collect_scale(packed, merge_iou: float) -> np.ndarray:
+        """One D2H fetch + host-side per-tile exact-IoU merge
+        (`Detect_OBB.py:264`), preserving tile scan order and conf-desc
+        order within tiles."""
+        flat = np.asarray(packed, np.float64)        # single fetch
+        flat = flat[flat[:, 11] > 0.5]               # valid only
+        if not len(flat):
+            return np.zeros((0, F.DET_WIDTH), np.float64)
+        # stable (tile asc, conf desc) ordering
+        order = np.lexsort((-flat[:, 9], flat[:, 12]))
+        flat = flat[order]
         rows = []
-        for t in range(tcount):
-            sel = np.where(valid[t])[0]  # conf-desc from compact_topk
-            if not len(sel):
-                continue
-            dets_t = np.concatenate(
-                [c8[t, sel], cls[t, sel, None], conf[t, sel, None],
-                 ang[t, sel, None]], axis=1)
-            rows.append(F.merge_detections(dets_t, self.cfg.merge_iou))
+        for tid in np.unique(flat[:, 12]):
+            dets_t = flat[flat[:, 12] == tid][:, :11]
+            rows.append(F.merge_detections(dets_t, merge_iou))
         return (np.concatenate(rows) if rows
                 else np.zeros((0, F.DET_WIDTH), np.float64))
+
+    def detect_scale(self, image_bgr: np.ndarray, scale: ScaleConfig
+                     ) -> np.ndarray:
+        """All detections for one scale as [N, 11] rows, in the reference's
+        order (tile scan order, conf-descending within each tile)."""
+        return self._collect_scale(
+            self._dispatch_scale(image_bgr, scale), self.cfg.merge_iou)
 
     # ------------------------------------------------------------------
     def detect_image(self, image_bgr: np.ndarray):
@@ -226,9 +251,15 @@ class TiledDetector:
         consensus+merged dets (`merged_for_pr`) and, under
         calculate_metrics, the wide pre-consensus union (`merged_for_map`)
         — mirroring `process_image` (`Detect_OBB.py:268-345`)."""
-        dets_by_scale = {
-            sc.tile_size: self.detect_scale(image_bgr, sc)
+        # dispatch all scales before collecting any: the per-scale device
+        # programs overlap, and each scale costs exactly one D2H fetch
+        pending = {
+            sc.tile_size: self._dispatch_scale(image_bgr, sc)
             for sc in self.cfg.scales
+        }
+        dets_by_scale = {
+            ts: self._collect_scale(packed, self.cfg.merge_iou)
+            for ts, packed in pending.items()
         }
 
         result = {"by_scale": dets_by_scale}
