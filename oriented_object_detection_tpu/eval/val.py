@@ -15,6 +15,8 @@ from ..config import TrainConfig
 from ..models import decode as D
 from . import metrics as M
 
+_INFER_CACHE: dict = {}
+
 
 def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                    max_tiles: int | None = None,
@@ -28,12 +30,21 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
     variables = {"params": params, "batch_stats": state.batch_stats}
     ts = cfg.tile_size
 
-    @jax.jit
+    # variables passed as an argument (not a closure) and the jitted fn
+    # cached per (model, ts, conf) so the program is reused across epochs
+    cache_key = (model, ts, conf_thr)
+    if cache_key not in _INFER_CACHE:
+        @jax.jit
+        def infer_v(v, imgs):
+            out = model.apply(v, imgs)
+            rbox, scores = D.decode_raw(out, ts)
+            return D.postprocess_batch(rbox, scores, conf_thr, 0.7,
+                                       max_det=64, pre_topk=256)
+
+        _INFER_CACHE[cache_key] = infer_v
+
     def infer(imgs):
-        out = model.apply(variables, imgs)
-        rbox, scores = D.decode_raw(out, ts)
-        return D.postprocess_batch(rbox, scores, conf_thr, 0.7,
-                                   max_det=64, pre_topk=256)
+        return _INFER_CACHE[cache_key](variables, imgs)
 
     n = len(val_ds) if max_tiles is None else min(len(val_ds), max_tiles)
     dets_per_image: dict = {}

@@ -311,7 +311,12 @@ def probiou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7,
     t2 = ((sc * dx * dy * -2.0) / denom) * 0.25  # cross term
     det1 = jnp.maximum(a1 * b1 - c1 * c1, 0.0)
     det2 = jnp.maximum(a2 * b2 - c2 * c2, 0.0)
-    t3 = 0.5 * jnp.log(denom / (4.0 * jnp.sqrt(det1 * det2) + eps) + eps)
+    # where-guarded sqrt: d sqrt/dx at 0 is inf, and degenerate (padded)
+    # boxes reach here under masked-out lanes — 0 cotangent * inf = NaN
+    prod = det1 * det2
+    safe = jnp.where(prod > 0, prod, 1.0)
+    root = jnp.where(prod > 0, jnp.sqrt(safe), 0.0)
+    t3 = 0.5 * jnp.log(denom / (4.0 * root + eps) + eps)
 
     bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
     hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)

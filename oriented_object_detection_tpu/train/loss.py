@@ -101,6 +101,14 @@ def obb_loss(
     # --- box ProbIoU on matched anchors (grid units) ---
     t_boxes_grid = tgt["bboxes"].at[..., :4].divide(
         strides[None, :, None])                        # [B, A, 5]
+    # non-fg anchors may carry padded (all-zero) targets; substitute a
+    # unit box at the anchor so probiou and its gradient stay finite
+    # (the lanes are masked out of the loss anyway)
+    dummy = jnp.concatenate(
+        [jnp.broadcast_to(anchor_pts, (B, A, 2)),
+         jnp.ones((B, A, 2), t_boxes_grid.dtype),
+         jnp.zeros((B, A, 1), t_boxes_grid.dtype)], axis=-1)
+    t_boxes_grid = jnp.where(fg[..., None], t_boxes_grid, dummy)
     weight = t_scores.sum(-1)                          # [B, A]
     iou = G.probiou(pred_rbox_grid, t_boxes_grid)
     loss_box = jnp.where(fg, (1.0 - iou) * weight, 0.0).sum() / score_sum

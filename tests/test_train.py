@@ -89,8 +89,11 @@ class TestLoss:
         assert int(parts["fg_count"]) > 0
 
     def test_overfit_descends(self):
+        # head bias init makes the initial loss small (no trivial
+        # negative-BCE collapse), so descent needs a realistic lr +
+        # warmup and a longer horizon
         cfg = TrainConfig(tile_size=64, model_scale="n", channels=3,
-                          lr0=0.01, warmup_epochs=0.0, epochs=10,
+                          lr0=0.003, warmup_epochs=1.0, epochs=20,
                           compute_dtype="float32")
         model, state, tx = TR.create_train_state(
             cfg, jax.random.PRNGKey(1), steps_per_epoch=10)
@@ -98,10 +101,12 @@ class TestLoss:
                                      LossConfig(img_size=64))
         batch = tiny_batch(np.random.RandomState(1))
         losses = []
-        for _ in range(12):
+        for _ in range(80):
             state, m = step_fn(state, batch)
             losses.append(float(m["loss"]))
-        assert losses[-1] < losses[0] * 0.9, losses
+        assert not np.isnan(losses).any()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.6, (
+            losses[:5], losses[-5:])
 
     def test_ema_moves(self):
         cfg = TrainConfig(tile_size=64, model_scale="n", lr0=0.01,
