@@ -32,6 +32,11 @@ REFERENCE_TILES_PER_SEC = 2.0  # conservative CPU estimate, see docstring
 def main():
     import jax
 
+    from oriented_object_detection_tpu.utils.runtime import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
+
     from oriented_object_detection_tpu.config import (DetectConfig,
                                                       ScaleConfig)
     from oriented_object_detection_tpu.infer.pipeline import TiledDetector
@@ -64,14 +69,12 @@ def main():
     n_tiles = 90 + 9 + 121 + 16
 
     # warmup / compile
-    for img in images:
-        det.detect_image(img)
+    det.detect_images(images)
 
-    reps = 3
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
-        for img in images:
-            det.detect_image(img)
+        det.detect_images(images)
     dt = (time.time() - t0) / reps
 
     tps = n_tiles / dt

@@ -24,6 +24,10 @@ def _detect(args):
     import cv2  # noqa: F401  (fail early if unavailable)
     import jax
 
+    from .utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .config import DetectConfig, ScaleConfig
     from .eval.metrics import run_fusion_eval
     from .infer.pipeline import TiledDetector, process_image

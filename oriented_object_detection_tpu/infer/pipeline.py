@@ -246,6 +246,37 @@ class TiledDetector:
             self._dispatch_scale(image_bgr, scale), self.cfg.merge_iou)
 
     # ------------------------------------------------------------------
+    def detect_images(self, images_bgr: list):
+        """Pipelined multi-image detection: dispatch every (image, scale)
+        program before collecting any, so device work overlaps host-side
+        merge/fusion across the whole set. Returns a list of per-image
+        result dicts (same shape as `detect_image`)."""
+        pending = [
+            {sc.tile_size: self._dispatch_scale(img, sc)
+             for sc in self.cfg.scales}
+            for img in images_bgr
+        ]
+        results = []
+        for per_scale in pending:
+            dets_by_scale = {
+                ts: self._collect_scale(packed, self.cfg.merge_iou)
+                for ts, packed in per_scale.items()
+            }
+            results.append(self._finalize(dets_by_scale))
+        return results
+
+    def _finalize(self, dets_by_scale: dict) -> dict:
+        result = {"by_scale": dets_by_scale}
+        if self.cfg.calculate_metrics:
+            union = (np.concatenate(list(dets_by_scale.values()))
+                     if dets_by_scale else np.zeros((0, F.DET_WIDTH)))
+            result["merged_for_map"] = F.merge_detections(
+                union, self.cfg.merge_iou)
+        consensus = F.cross_scale_consensus_filter(dets_by_scale)
+        result["merged_for_pr"] = F.merge_detections(
+            consensus, self.cfg.merge_iou)
+        return result
+
     def detect_image(self, image_bgr: np.ndarray):
         """Full multi-scale detection: returns dict with per-scale dets,
         consensus+merged dets (`merged_for_pr`) and, under
@@ -261,18 +292,7 @@ class TiledDetector:
             ts: self._collect_scale(packed, self.cfg.merge_iou)
             for ts, packed in pending.items()
         }
-
-        result = {"by_scale": dets_by_scale}
-        if self.cfg.calculate_metrics:
-            union = (np.concatenate(list(dets_by_scale.values()))
-                     if dets_by_scale else np.zeros((0, F.DET_WIDTH)))
-            result["merged_for_map"] = F.merge_detections(
-                union, self.cfg.merge_iou)
-
-        consensus = F.cross_scale_consensus_filter(dets_by_scale)
-        result["merged_for_pr"] = F.merge_detections(
-            consensus, self.cfg.merge_iou)
-        return result
+        return self._finalize(dets_by_scale)
 
 
 # ---------------------------------------------------------------------------
