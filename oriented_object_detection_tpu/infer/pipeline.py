@@ -175,7 +175,7 @@ class TiledDetector:
                 valid.reshape(-1, 1).astype(jnp.float32),
                 tile_id.reshape(-1, 1),
             ], axis=1)                                    # [T*Nd, 13]
-            k = min(self.cfg.max_det_per_map, T_b * Nd)
+            k = min(max(self.cfg.max_det_per_map, T_b * 4), T_b * Nd)
             key = jnp.where(valid.reshape(-1), dets["conf"].reshape(-1),
                             -1.0)
             _, top = jax.lax.top_k(key, k)
@@ -188,23 +188,39 @@ class TiledDetector:
     def _dispatch_scale(self, image_bgr: np.ndarray, scale: ScaleConfig):
         """Launch the jitted per-scale program asynchronously; returns the
         device array ([K, 13] packed dets) for later collection."""
-        h, w = image_bgr.shape[:2]
+        packed, _ = self._dispatch_scale_multi([image_bgr], scale)
+        return packed
+
+    def _dispatch_scale_multi(self, images_bgr: list, scale: ScaleConfig):
+        """One device program covering the tile batches of SEVERAL images
+        at this scale (concatenated with per-image bucket segments).
+        Returns (packed dets [K, 13], segments [(start, tcount, tb)])."""
         ts = scale.tile_size
-        grid = T.inference_tile_grid(h, w, ts, scale.overlap)
-        tcount = len(grid)
         n_shards = (self.mesh.shape.get("data", 1)
                     if self.mesh is not None else 1)
-        tb = max(_bucket(tcount), n_shards)
 
-        grid_p = np.zeros((tb, 4), np.int32)
-        grid_p[:tcount] = grid
-        tile_valid = np.zeros((tb,), bool)
-        tile_valid[:tcount] = True
+        tile_parts, grid_parts, valid_parts, segments = [], [], [], []
+        offset = 0
+        for img in images_bgr:
+            h, w = img.shape[:2]
+            grid = T.inference_tile_grid(h, w, ts, scale.overlap)
+            tcount = len(grid)
+            tb = max(_bucket(tcount), n_shards)
+            grid_p = np.zeros((tb, 4), np.int32)
+            grid_p[:tcount] = grid
+            tile_valid = np.zeros((tb,), bool)
+            tile_valid[:tcount] = True
+            tile_parts.append(T.extract_tiles(
+                jnp.asarray(img), jnp.asarray(grid_p[:, :2]), ts))
+            grid_parts.append(grid_p)
+            valid_parts.append(tile_valid)
+            segments.append((offset, tcount, tb))
+            offset += tb
 
-        tiles = T.extract_tiles(
-            jnp.asarray(image_bgr), jnp.asarray(grid_p[:, :2]), ts)
-        grid_j = jnp.asarray(grid_p)
-        valid_j = jnp.asarray(tile_valid)
+        tiles = (tile_parts[0] if len(tile_parts) == 1
+                 else jnp.concatenate(tile_parts))
+        grid_j = jnp.asarray(np.concatenate(grid_parts))
+        valid_j = jnp.asarray(np.concatenate(valid_parts))
         if self.mesh is not None:
             from ..parallel import mesh as PM
 
@@ -216,19 +232,17 @@ class TiledDetector:
         conf_thr = (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
                     else self.cfg.conf_thr_predict)
         run = self._tile_fn(ts)
-        return run(self.params[ts], tiles, grid_j, valid_j,
-                   jnp.float32(conf_thr))
+        packed = run(self.params[ts], tiles, grid_j, valid_j,
+                     jnp.float32(conf_thr))
+        return packed, segments
 
     @staticmethod
-    def _collect_scale(packed, merge_iou: float) -> np.ndarray:
-        """One D2H fetch + host-side per-tile exact-IoU merge
-        (`Detect_OBB.py:264`), preserving tile scan order and conf-desc
-        order within tiles."""
-        flat = np.asarray(packed, np.float64)        # single fetch
-        flat = flat[flat[:, 11] > 0.5]               # valid only
+    def _merge_collected(flat: np.ndarray, merge_iou: float) -> np.ndarray:
+        """Host-side per-tile exact-IoU merge (`Detect_OBB.py:264`) over
+        already-fetched valid rows [N, 13], preserving tile scan order and
+        conf-desc order within tiles."""
         if not len(flat):
             return np.zeros((0, F.DET_WIDTH), np.float64)
-        # stable (tile asc, conf desc) ordering
         order = np.lexsort((-flat[:, 9], flat[:, 12]))
         flat = flat[order]
         rows = []
@@ -237,6 +251,12 @@ class TiledDetector:
             rows.append(F.merge_detections(dets_t, merge_iou))
         return (np.concatenate(rows) if rows
                 else np.zeros((0, F.DET_WIDTH), np.float64))
+
+    @classmethod
+    def _collect_scale(cls, packed, merge_iou: float) -> np.ndarray:
+        """One D2H fetch + host merge."""
+        flat = np.asarray(packed, np.float64)        # single fetch
+        return cls._merge_collected(flat[flat[:, 11] > 0.5], merge_iou)
 
     def detect_scale(self, image_bgr: np.ndarray, scale: ScaleConfig
                      ) -> np.ndarray:
@@ -247,23 +267,25 @@ class TiledDetector:
 
     # ------------------------------------------------------------------
     def detect_images(self, images_bgr: list):
-        """Pipelined multi-image detection: dispatch every (image, scale)
-        program before collecting any, so device work overlaps host-side
-        merge/fusion across the whole set. Returns a list of per-image
-        result dicts (same shape as `detect_image`)."""
-        pending = [
-            {sc.tile_size: self._dispatch_scale(img, sc)
-             for sc in self.cfg.scales}
-            for img in images_bgr
-        ]
-        results = []
-        for per_scale in pending:
-            dets_by_scale = {
-                ts: self._collect_scale(packed, self.cfg.merge_iou)
-                for ts, packed in per_scale.items()
-            }
-            results.append(self._finalize(dets_by_scale))
-        return results
+        """Batched multi-image detection: ONE device program per scale
+        covers every image's tile batch (concatenated segments), so the
+        whole set costs len(scales) dispatches + fetches total. Returns a
+        list of per-image result dicts (same shape as `detect_image`)."""
+        pending = {
+            sc.tile_size: self._dispatch_scale_multi(images_bgr, sc)
+            for sc in self.cfg.scales
+        }
+        per_image: list[dict] = [dict() for _ in images_bgr]
+        for ts, (packed, segments) in pending.items():
+            flat = np.asarray(packed, np.float64)     # single fetch
+            flat = flat[flat[:, 11] > 0.5]
+            for i, (start, tcount, tb) in enumerate(segments):
+                sel = (flat[:, 12] >= start) & (flat[:, 12] < start + tb)
+                sub = flat[sel].copy()
+                sub[:, 12] -= start
+                per_image[i][ts] = self._merge_collected(
+                    sub, self.cfg.merge_iou)
+        return [self._finalize(d) for d in per_image]
 
     def _finalize(self, dets_by_scale: dict) -> dict:
         result = {"by_scale": dets_by_scale}

@@ -83,3 +83,17 @@ class TestEndToEnd:
         for r in dets:
             if int(r[8]) != P.STRIKE_CLS:
                 assert r[10] == 0.0
+
+
+class TestMultiImage:
+    def test_detect_images_matches_per_image(self):
+        det = make_detector([(64, 16)])
+        rng = np.random.RandomState(9)
+        imgs = [rng.randint(0, 255, (100, 120, 3)).astype(np.uint8),
+                rng.randint(0, 255, (90, 100, 3)).astype(np.uint8)]
+        batched = det.detect_images(imgs)
+        for img, res in zip(imgs, batched):
+            single = det.detect_image(img)
+            np.testing.assert_allclose(
+                res["merged_for_pr"], single["merged_for_pr"],
+                rtol=1e-6, atol=1e-6)
