@@ -9,11 +9,10 @@ merge. Content is synthetic (speed is content-independent); weights are the
 trained checkpoint if present, else random init.
 
 Baseline: the reference runs one ultralytics yolo11x-obb predict call per
-tile on CPU (no published hardware numbers — BASELINE.md). Measured on this
-container (bench_reference_torch.py: torch-CPU yolo11x-equivalent forward
-per tile, fp32): ~1.18 tiles/sec single-threaded-graph equivalent; we use
-2.0 tiles/sec as a conservative reference throughput so vs_baseline
-understates the speedup.
+tile on CPU (no published hardware numbers — BASELINE.md). Measured on
+this container with tools/baseline_cpu.py (per-tile serial yolo11x-obb
+fp32 forwards incl. decode+NMS on the JAX CPU backend, golden workload
+mix): 4.25 tiles/sec (133 ms/tile @128, 1096 ms/tile @416).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,7 +25,7 @@ import time
 import numpy as np
 
 
-REFERENCE_TILES_PER_SEC = 2.0  # conservative CPU estimate, see docstring
+REFERENCE_TILES_PER_SEC = 4.25  # measured, tools/baseline_cpu.py
 
 
 def main():
