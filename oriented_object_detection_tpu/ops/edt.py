@@ -83,17 +83,17 @@ def _edt_pass2_rows_pallas(d0: jnp.ndarray) -> jnp.ndarray:
 
     def kernel(f_ref, out_ref):
         jb = pl.program_id(1)
-        f = jnp.minimum(f_ref[...], _INF) ** 2          # [ROWS, W]
         j = (jb * JBLK + jax.lax.broadcasted_iota(
-            jnp.float32, (1, JBLK), 1))                  # [1, JBLK]
+            jnp.int32, (1, JBLK), 1)).astype(jnp.float32)    # [1, JBLK]
         acc = jnp.full((ROWS, JBLK), _INF, jnp.float32)
 
         def body(kb, acc):
             kk = (kb * JBLK + jax.lax.broadcasted_iota(
-                jnp.float32, (JBLK, 1), 0))              # [JBLK, 1]
+                jnp.int32, (JBLK, 1), 0)).astype(jnp.float32)  # [JBLK, 1]
             para = (j - kk) ** 2                         # [JBLK, JBLK]
-            fblk = jax.lax.dynamic_slice(
-                f, (0, kb * JBLK), (ROWS, JBLK))         # [ROWS, JBLK]
+            # dynamic slice must go through the ref, not a loaded array
+            fblk = f_ref[:, pl.ds(kb * JBLK, JBLK)]      # [ROWS, JBLK]
+            fblk = jnp.minimum(fblk, _INF) ** 2
             cand = fblk[:, :, None] + para[None, :, :]   # [ROWS, K, J]
             return jnp.minimum(acc, cand.min(axis=1))
 
