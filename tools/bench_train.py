@@ -15,7 +15,7 @@ sys.path.insert(0, ".")
 
 
 def main(batch: int = 16, ts: int = 416, scale: str = "x",
-         steps: int = 10):
+         steps: int = 30):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +52,7 @@ def main(batch: int = 16, ts: int = 416, scale: str = "x",
     t0 = time.time()
     for _ in range(steps):
         state, m = step_fn(state, batch_d)
-    jax.block_until_ready(m)
+    jax.block_until_ready((state, m))
     dt = (time.time() - t0) / steps
 
     print(json.dumps({
