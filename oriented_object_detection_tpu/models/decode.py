@@ -115,8 +115,11 @@ def postprocess_batch(
         cand_cl = cl[idx]
         valid = cand_conf >= conf_thr
         c8 = G.xywhr_to_corners8(cand_rb)
-        keep = NMS.nms_keep_mask(c8, cand_cl, cand_conf, valid, iou_thr,
-                                 use_exact=False)
+        # engine semantics: ultralytics nms_rotated is the ONE-SHOT rule
+        # (suppressed boxes still suppress) — pure matrix ops, no
+        # sequential loop
+        keep = NMS.nms_keep_mask_oneshot(c8, cand_cl, cand_conf, valid,
+                                         iou_thr)
         sel, sel_valid = NMS.compact_topk(cand_conf, keep, max_det)
         return (cand_rb[sel], c8[sel], cand_cl[sel], cand_conf[sel],
                 sel_valid)

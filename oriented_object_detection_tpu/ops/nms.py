@@ -25,6 +25,33 @@ import jax.numpy as jnp
 from . import geometry as G
 
 
+@partial(jax.jit, static_argnames=())
+def nms_keep_mask_oneshot(
+    corners8: jnp.ndarray,   # [N, 8]
+    cls_id: jnp.ndarray,     # [N]
+    conf: jnp.ndarray,       # [N]
+    valid: jnp.ndarray,      # [N]
+    iou_thr: float | jnp.ndarray,
+) -> jnp.ndarray:
+    """One-shot rotated NMS — the ultralytics `nms_rotated` rule the
+    reference's in-engine NMS actually applies: keep detection i iff no
+    HIGHER-SCORED same-class detection overlaps it with ProbIoU >= thr
+    (suppressed boxes still suppress; no sequential dependency, pure
+    matrix ops). Class-awareness mirrors the engine's coordinate-offset
+    trick. Returns keep mask in original order."""
+    xywhr = G.corners8_to_xywhr(corners8)
+    iou = G.probiou_matrix(xywhr, xywhr)
+    same = cls_id[:, None] == cls_id[None, :]
+    # strict priority: higher conf first; ties broken by original index
+    # (matching argsort-stable ordering)
+    idx = jnp.arange(conf.shape[0])
+    key = jnp.where(valid, conf, -jnp.inf)
+    higher = (key[:, None] > key[None, :]) | (
+        (key[:, None] == key[None, :]) & (idx[:, None] < idx[None, :]))
+    sup = (iou >= iou_thr) & same & higher & valid[:, None]
+    return valid & ~sup.any(axis=0)
+
+
 @partial(jax.jit, static_argnames=("use_exact",))
 def nms_keep_mask(
     corners8: jnp.ndarray,   # [N, 8] corner coords (any units)

@@ -214,3 +214,54 @@ class TestConsensusFusion:
         out = F.cross_scale_consensus_filter(
             {128: d, 416: np.zeros((0, 11))})
         assert len(out) == 0
+
+
+class TestOneShotNMS:
+    def oracle_oneshot(self, dets, thr):
+        """Mirror of ultralytics nms_rotated: sort desc, probiou matrix,
+        keep where no higher-ranked same-class box has iou >= thr."""
+        from oriented_object_detection_tpu.ops import geometry as G
+        order = np.argsort(-dets[:, 9], kind="stable")
+        d = dets[order]
+        xywhr = np.asarray(G.corners8_to_xywhr(jnp.asarray(d[:, :8])))
+        iou = np.asarray(G.probiou_matrix(jnp.asarray(xywhr),
+                                          jnp.asarray(xywhr)))
+        n = len(d)
+        keep_sorted = np.ones(n, bool)
+        for i in range(n):
+            for j in range(i):
+                if d[j, 8] == d[i, 8] and iou[j, i] >= thr:
+                    keep_sorted[i] = False
+                    break
+        keep = np.zeros(n, bool)
+        keep[order] = keep_sorted
+        return keep
+
+    def test_matches_oracle(self):
+        rng = np.random.RandomState(11)
+        for _ in range(5):
+            dets = clustered_dets(rng, 5, 4)
+            got = np.asarray(N.nms_keep_mask_oneshot(
+                jnp.asarray(dets[:, :8]),
+                jnp.asarray(dets[:, 8], jnp.int32),
+                jnp.asarray(dets[:, 9]), jnp.ones(len(dets), bool), 0.7))
+            ref = self.oracle_oneshot(dets, 0.7)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_differs_from_greedy_on_chains(self):
+        """A-B overlap, B-C overlap, A-C don't: greedy keeps A,C;
+        one-shot keeps only A (B suppressed by A still suppresses C)."""
+        from oriented_object_detection_tpu.ops import geometry as G
+        boxes = np.array([[0.0, 0, 10, 4, 0],
+                          [4.0, 0, 10, 4, 0],
+                          [8.0, 0, 10, 4, 0]])
+        c8 = np.asarray(G.xywhr_to_corners8(jnp.asarray(boxes)))
+        cls = jnp.zeros(3, jnp.int32)
+        conf = jnp.array([0.9, 0.8, 0.7])
+        v = jnp.ones(3, bool)
+        oneshot = np.asarray(N.nms_keep_mask_oneshot(
+            jnp.asarray(c8), cls, conf, v, 0.4))
+        greedy = np.asarray(N.nms_keep_mask(
+            jnp.asarray(c8), cls, conf, v, 0.4, use_exact=False))
+        assert list(oneshot) == [True, False, False]
+        assert list(greedy) == [True, False, True]
