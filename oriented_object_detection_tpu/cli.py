@@ -61,9 +61,33 @@ def _detect(args):
     os.makedirs(args.output, exist_ok=True)
     t0 = time.time()
     store: dict = {}
-    for fname in sorted(os.listdir(args.input)):
-        if fname.lower().endswith(
-                (".jpg", ".png", ".jpeg", ".tif", ".tiff")):
+    names = [f for f in sorted(os.listdir(args.input))
+             if f.lower().endswith(
+                 (".jpg", ".png", ".jpeg", ".tif", ".tiff"))]
+    if args.batch:
+        # scale-grouped batching: one device program per scale covers
+        # every image (fastest path; per-image timing not meaningful)
+        import cv2 as _cv2
+
+        from .infer.pipeline import (draw_detections, export_xlsx)
+
+        paths = [os.path.join(args.input, f) for f in names]
+        imgs = [_cv2.imread(p) for p in paths]
+        ok = [(p, im) for p, im in zip(paths, imgs) if im is not None]
+        results = det.detect_images([im for _, im in ok])
+        for (p, im), res in zip(ok, results):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            merged = res["merged_for_pr"]
+            _cv2.imwrite(os.path.join(args.output,
+                                      f"{stem}_detected.jpg"),
+                         draw_detections(im, merged))
+            export_xlsx(os.path.join(args.output, f"{stem}.xlsx"), merged)
+            store.setdefault("pr", {})[p] = merged
+            if "merged_for_map" in res:
+                store.setdefault("map", {})[p] = res["merged_for_map"]
+            print(f"Results saved for {os.path.basename(p)}")
+    else:
+        for fname in names:
             print(f"Processing {fname}...")
             process_image(det, os.path.join(args.input, fname),
                           args.output, store=store)
@@ -190,6 +214,8 @@ def main(argv=None):
     d.add_argument("--channels", type=int, default=3, choices=(3, 4))
     d.add_argument("--scale", default="x")
     d.add_argument("--metrics", action="store_true")
+    d.add_argument("--batch", action="store_true",
+                   help="batch all input images per scale (fastest)")
     d.set_defaults(fn=_detect)
 
     t = sub.add_parser("train", help="dataset build + training")

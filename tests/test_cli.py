@@ -57,3 +57,16 @@ def test_train_then_detect(data_root, tmp_path, monkeypatch):
     outs = os.listdir(out_dir)
     assert any(f.endswith("_detected.jpg") for f in outs)
     assert any(f.endswith(".xlsx") for f in outs)
+
+
+def test_detect_batch_mode(data_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out_dir = str(tmp_path / "outb")
+    cli.main([
+        "detect", "--input", str(data_root / "images" / "val"),
+        "--output", out_dir, "--ckpt416", "missing.ckpt",
+        "--scale", "n", "--batch",
+    ])
+    outs = os.listdir(out_dir)
+    assert sum(f.endswith("_detected.jpg") for f in outs) == 2
+    assert sum(f.endswith(".xlsx") for f in outs) == 2
