@@ -38,6 +38,37 @@ def load_tile(path: str, channels: int = 3) -> np.ndarray:
     return img
 
 
+_AUG_CACHE: dict = {}
+
+
+def _augment_batch_fn(channels: int):
+    """One jitted program for the whole batch's device-side augmentation
+    (flip + HSV): eager per-op dispatch costs tunnel RPCs per op in this
+    environment, which dominated epoch time."""
+    if channels in _AUG_CACHE:
+        return _AUG_CACHE[channels]
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import augment as AUG
+
+    @jax.jit
+    def aug(x, gb, flips, sg, vg, ts):
+        fl = flips[:, None, None, None]
+        x = jnp.where(fl, AUG.fliplr_image(x), x)
+        if channels == 3:
+            x = AUG.hsv_jitter(x, sg, vg)
+        gb = jnp.where(
+            flips[:, None, None],
+            gb.at[..., 0].set(ts - gb[..., 0]).at[..., 4].multiply(-1.0),
+            gb)
+        return x / 255.0, gb
+
+    _AUG_CACHE[channels] = aug
+    return aug
+
+
 def label_path_for_tile(image_path: str) -> str:
     """images/ -> labels/ sibling layout used by the dataset builder."""
     d, fn = os.path.split(image_path)
@@ -153,7 +184,6 @@ class TileDataset:
         """Yield padded batch dicts ready for the train step."""
         import jax.numpy as jnp
 
-        from ..ops import augment as AUG
 
         order = np.arange(len(self.paths))
         if shuffle:
@@ -177,8 +207,7 @@ class TileDataset:
                 imgs[bi] = img
                 if len(cls):
                     cls, c8 = cls[:M], c8[:M]
-                    xywhr = np.asarray(G.corners8_to_xywhr(
-                        jnp.asarray(c8)))
+                    xywhr = G.corners8_to_xywhr_np(c8)
                     k = len(cls)
                     gl[bi, :k] = cls.astype(np.int32)
                     gb[bi, :k] = xywhr
@@ -187,24 +216,20 @@ class TileDataset:
             x = jnp.asarray(imgs, jnp.float32)
             gbj = jnp.asarray(gb)
             if augment:
-                # horizontal flip (per-sample), HSV jitter (per-batch)
+                # horizontal flip (per-sample), HSV jitter (per-batch),
+                # executed as ONE jitted device program
                 flips = rng.rand(B) < fliplr_p
-                fl = jnp.asarray(flips)
-                x = jnp.where(fl[:, None, None, None],
-                              AUG.fliplr_image(x), x)
-                if self.channels == 3:
-                    sg = 1.0 + rng.uniform(-1, 1) * hsv_s
-                    vg = 1.0 + rng.uniform(-1, 1) * hsv_v
-                    x = AUG.hsv_jitter(x, max(sg, 0.0), max(vg, 0.0))
-                # flip labels: cx -> ts - cx, theta -> -theta
-                gbj = jnp.where(
-                    fl[:, None, None],
-                    gbj.at[..., 0].set(ts - gbj[..., 0])
-                       .at[..., 4].multiply(-1.0),
-                    gbj)
+                sg = max(1.0 + rng.uniform(-1, 1) * hsv_s, 0.0)
+                vg = max(1.0 + rng.uniform(-1, 1) * hsv_v, 0.0)
+                aug = _augment_batch_fn(self.channels)
+                x, gbj = aug(x, gbj, jnp.asarray(flips),
+                             jnp.float32(sg), jnp.float32(vg),
+                             jnp.float32(ts))
+            else:
+                x = x / 255.0
 
             yield {
-                "images": x / 255.0,
+                "images": x,
                 "gt_labels": jnp.asarray(gl),
                 "gt_xywhr": gbj,
                 "gt_mask": jnp.asarray(gm),

@@ -35,6 +35,7 @@ from ..ops import dtedge as DT
 from ..ops import geometry as G
 from ..ops import nms as NMS
 from ..ops import tiling as T
+from ..utils import profiling as prof
 from ..utils import xlsx
 from . import fusion as F
 
@@ -271,21 +272,26 @@ class TiledDetector:
         covers every image's tile batch (concatenated segments), so the
         whole set costs len(scales) dispatches + fetches total. Returns a
         list of per-image result dicts (same shape as `detect_image`)."""
-        pending = {
-            sc.tile_size: self._dispatch_scale_multi(images_bgr, sc)
-            for sc in self.cfg.scales
-        }
+        with prof.timed("detect/dispatch"):
+            pending = {
+                sc.tile_size: self._dispatch_scale_multi(images_bgr, sc)
+                for sc in self.cfg.scales
+            }
         per_image: list[dict] = [dict() for _ in images_bgr]
         for ts, (packed, segments) in pending.items():
-            flat = np.asarray(packed, np.float64)     # single fetch
+            with prof.timed(f"detect/fetch_{ts}"):
+                flat = np.asarray(packed, np.float64)     # single fetch
             flat = flat[flat[:, 11] > 0.5]
-            for i, (start, tcount, tb) in enumerate(segments):
-                sel = (flat[:, 12] >= start) & (flat[:, 12] < start + tb)
-                sub = flat[sel].copy()
-                sub[:, 12] -= start
-                per_image[i][ts] = self._merge_collected(
-                    sub, self.cfg.merge_iou)
-        return [self._finalize(d) for d in per_image]
+            with prof.timed(f"detect/merge_{ts}"):
+                for i, (start, tcount, tb) in enumerate(segments):
+                    sel = (flat[:, 12] >= start) & (
+                        flat[:, 12] < start + tb)
+                    sub = flat[sel].copy()
+                    sub[:, 12] -= start
+                    per_image[i][ts] = self._merge_collected(
+                        sub, self.cfg.merge_iou)
+        with prof.timed("detect/fusion"):
+            return [self._finalize(d) for d in per_image]
 
     def _finalize(self, dets_by_scale: dict) -> dict:
         result = {"by_scale": dets_by_scale}

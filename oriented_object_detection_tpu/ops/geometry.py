@@ -83,6 +83,21 @@ def corners8_to_xywhr(c8: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([c[..., 0], c[..., 1], w, h, theta], axis=-1)
 
 
+def corners8_to_xywhr_np(c8):
+    """Numpy twin of `corners8_to_xywhr` for host-side data paths (avoids
+    per-sample device round-trips in the loader)."""
+    import numpy as np
+
+    pts = np.asarray(c8, np.float64).reshape(-1, 4, 2)
+    c = pts.mean(axis=1)
+    e_w = pts[:, 0] - pts[:, 3]
+    e_h = pts[:, 0] - pts[:, 1]
+    w = np.linalg.norm(e_w, axis=-1)
+    h = np.linalg.norm(e_h, axis=-1)
+    theta = np.arctan2(e_w[:, 1], e_w[:, 0])
+    return np.stack([c[:, 0], c[:, 1], w, h, theta], axis=-1)
+
+
 def box_center(c8: jnp.ndarray) -> jnp.ndarray:
     """4-corner centroid, matching `Detect_OBB.py:159-165`. [..., 8] -> [..., 2]."""
     pts = corners8_to_pts(c8)
