@@ -211,6 +211,9 @@ class TiledDetector:
             grid_p[:tcount] = grid
             tile_valid = np.zeros((tb,), bool)
             tile_valid[:tcount] = True
+            # jnp.asarray on an already-device array is a no-op, so
+            # callers pre-transfer each image ONCE and share it across
+            # scales (H2D through the tunnel is expensive; see CLAUDE.md)
             tile_parts.append(T.extract_tiles(
                 jnp.asarray(img), jnp.asarray(grid_p[:, :2]), ts))
             grid_parts.append(grid_p)
@@ -272,9 +275,12 @@ class TiledDetector:
         covers every image's tile batch (concatenated segments), so the
         whole set costs len(scales) dispatches + fetches total. Returns a
         list of per-image result dicts (same shape as `detect_image`)."""
+        with prof.timed("detect/h2d"):
+            # one H2D per image, shared by every scale's extraction
+            images_dev = [jnp.asarray(im) for im in images_bgr]
         with prof.timed("detect/dispatch"):
             pending = {
-                sc.tile_size: self._dispatch_scale_multi(images_bgr, sc)
+                sc.tile_size: self._dispatch_scale_multi(images_dev, sc)
                 for sc in self.cfg.scales
             }
         per_image: list[dict] = [dict() for _ in images_bgr]
@@ -311,9 +317,11 @@ class TiledDetector:
         calculate_metrics, the wide pre-consensus union (`merged_for_map`)
         — mirroring `process_image` (`Detect_OBB.py:268-345`)."""
         # dispatch all scales before collecting any: the per-scale device
-        # programs overlap, and each scale costs exactly one D2H fetch
+        # programs overlap, each scale costs exactly one D2H fetch, and
+        # the image transfers to the device exactly once
+        img_dev = jnp.asarray(image_bgr)
         pending = {
-            sc.tile_size: self._dispatch_scale(image_bgr, sc)
+            sc.tile_size: self._dispatch_scale(img_dev, sc)
             for sc in self.cfg.scales
         }
         dets_by_scale = {
