@@ -12,9 +12,9 @@ torch DDP path).
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -86,7 +86,9 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
-        ema_params=params,
+        # real copy: ema aliasing params would donate buffers twice in
+        # the donated train step
+        ema_params=jax.tree.map(jnp.array, params),
     )
     return model, state, tx
 
@@ -117,7 +119,7 @@ def make_train_step(model: YOLO11OBB, tx, cfg: TrainConfig,
                                 loss_cfg)
         return total, (parts, mutated["batch_stats"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         (total, (parts, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)

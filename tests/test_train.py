@@ -116,13 +116,14 @@ class TestLoss:
         step_fn = TR.make_train_step(model, tx, cfg,
                                      LossConfig(img_size=64))
         batch = tiny_batch(np.random.RandomState(2))
+        # snapshot before stepping: the train step donates the state
+        ema0 = [np.asarray(x) for x in jax.tree.leaves(state.ema_params)]
         s = state
         for _ in range(3):
             s, _ = step_fn(s, batch)
         moved = any(
-            not np.allclose(np.asarray(a), np.asarray(b))
-            for a, b in zip(jax.tree.leaves(state.ema_params),
-                            jax.tree.leaves(s.ema_params)))
+            not np.allclose(a, np.asarray(b))
+            for a, b in zip(ema0, jax.tree.leaves(s.ema_params)))
         assert moved
 
 
@@ -143,8 +144,12 @@ class TestDataParallel:
             new_state, metrics = step_fn(state_r, batch_s)
         assert np.isfinite(float(metrics["loss"]))
 
-        # gradient math must match the single-device result
-        state2, metrics2 = step_fn(state, batch)
+        # gradient math must match the single-device result; the train
+        # step donates its input state (and device_put may alias
+        # buffers), so build a fresh identical state
+        _, state_b, _ = TR.create_train_state(
+            cfg, jax.random.PRNGKey(3))
+        state2, metrics2 = step_fn(state_b, batch)
         np.testing.assert_allclose(float(metrics["loss"]),
                                    float(metrics2["loss"]), rtol=1e-4)
         l_a = np.asarray(jax.tree.leaves(new_state.params)[0])
