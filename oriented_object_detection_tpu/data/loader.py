@@ -23,8 +23,11 @@ from . import labels as L
 
 
 def load_tile(path: str, channels: int = 3) -> np.ndarray:
-    """Read a tile image (jpg or multipage 4ch tiff) as [H, W, C] uint8
-    BGR (3ch) or [R,G,B,DT] (4ch tiff pages, `Train_OBB.py:271-282`)."""
+    """Read a tile image as NETWORK channel order: [H, W, 3] uint8 RGB for
+    jpg/png (cv2 reads BGR; the inference path feeds RGB via
+    `build_multich`, and ultralytics' own loader flips BGR->RGB — train
+    and predict must match), or [R,G,B,DT] for multipage 4ch tiffs
+    (`Train_OBB.py:271-282`, already in channel order)."""
     import cv2
 
     if path.lower().endswith((".tif", ".tiff")):
@@ -35,7 +38,7 @@ def load_tile(path: str, channels: int = 3) -> np.ndarray:
     img = cv2.imread(path)
     if img is None:
         raise IOError(f"cannot read image: {path}")
-    return img
+    return img[..., ::-1]  # BGR -> RGB
 
 
 _AUG_CACHE: dict = {}
