@@ -34,14 +34,30 @@ def _detect(args):
     from .models import YOLO11OBB
     from .train.trainer import variables_from_checkpoint
 
+    # scale geometry: either --scales "128:30=ck.ckpt,416:100=ck2.ckpt"
+    # (the reference's editable tile_sizes/overlaps lists,
+    # `Detect_OBB.py:24-25`) or the --ckpt128/--ckpt416 shorthands with
+    # the reference's default overlaps (30, 100).
+    if args.scales:
+        triples = []
+        for item in args.scales.split(","):
+            geom, _, ck = item.partition("=")
+            ts_s, _, ov_s = geom.partition(":")
+            if not ov_s:
+                raise SystemExit(
+                    f"bad --scales item {item!r}; want ts:ov[=ckpt]")
+            triples.append((int(ts_s), int(ov_s), ck or None))
+    else:
+        triples = [(128, 30, args.ckpt128), (416, 100, args.ckpt416)]
+
     scales = []
     params = {}
-    for ts, ov, ck in ((128, 30, args.ckpt128), (416, 100, args.ckpt416)):
-        if ck is None:
+    for ts, ov, ck in triples:
+        if ck is None and not args.scales:
             continue
         scales.append(ScaleConfig(ts, ov, checkpoint=ck,
                                   model_scale=args.scale))
-        if os.path.exists(ck):
+        if ck and os.path.exists(ck):
             params[ts] = variables_from_checkpoint(ck)
         else:
             print(f"[WARN] checkpoint {ck} missing; random init")
@@ -107,6 +123,10 @@ def _detect(args):
 def _train(args):
     import jax
     import numpy as np
+
+    from .utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from .config import TrainConfig
     from .data import dataset as DS
@@ -211,6 +231,10 @@ def main(argv=None):
     d.add_argument("--output", default="Output")
     d.add_argument("--ckpt128")
     d.add_argument("--ckpt416")
+    d.add_argument("--scales",
+                   help="custom scale geometry: comma list ts:ov[=ckpt], "
+                        "e.g. 128:30=ck128.ckpt,416:100=ck416.ckpt "
+                        "(replaces --ckpt128/--ckpt416)")
     d.add_argument("--channels", type=int, default=3, choices=(3, 4))
     d.add_argument("--scale", default="x")
     d.add_argument("--metrics", action="store_true")

@@ -95,6 +95,8 @@ class DetectConfig:
     # for metrics-mode runs on dense maps if the valid count ever hits it
     max_det_per_map: int = 1024
     dt_edge: DTEdgeConfig = field(default_factory=DTEdgeConfig)
+    # None = auto: Pallas EDT kernel on TPU, chunked-XLA fallback elsewhere
+    use_pallas_edt: Optional[bool] = None
     compute_dtype: str = "bfloat16"
 
 
@@ -122,8 +124,11 @@ class TrainConfig:
     weight_decay: float = 0.001
     momentum: float = 0.937
     warmup_epochs: float = 3.0
-    warmup_momentum: float = 0.8
-    warmup_bias_lr: float = 0.1
+    warmup_momentum: float = 0.8       # momentum ramp start (-> momentum)
+    warmup_bias_lr: float = 0.1        # bias-group lr ramp start (-> lr0)
+    # The reference passes dropout=0.0 (`Train_OBB.py:809,834`) but the
+    # engine only applies dropout to classification heads — it is inert for
+    # OBB. Kept for config-surface parity; see PARITY.md.
     dropout: float = 0.0
     patience: int = 50
     ema_decay: float = 0.9999

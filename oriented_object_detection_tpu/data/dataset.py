@@ -278,36 +278,52 @@ def class_distribution(label_dir: str) -> dict[int, int]:
 
 
 def _augment_tile(img: np.ndarray, lab: np.ndarray, rng: random.Random):
-    """The three offline augmentations (`Train_OBB.py:446-510`), device-
-    batched where compute-bound. Returns [(name, img, labels_norm)]."""
+    """The three offline augmentations (`Train_OBB.py:446-510`) on HOST.
+
+    This is disk-to-disk dataset prep (read jpg -> augment -> write jpg),
+    exactly like the reference's cv2 path — NOT the training hot loop (the
+    in-loop augmentations run device-batched in data/loader.py). Round-1
+    dispatched eager per-tile device ops here, which cost a tunnel RPC +
+    compile per (dx, dy) variant on TPU and stalled dataset builds for
+    minutes. Returns [(name, img, labels_norm)]."""
     import cv2
-
-    import jax.numpy as jnp
-
-    from ..ops import augment as AUG
 
     h, w = img.shape[:2]
     out = []
 
-    # 1. scale x1.2
+    # 1. scale x1.2 (`Train_OBB.py:462-471`: normalized labels shift by
+    # w*f/int(w*f) because the scaled size is int-rounded)
     nw, nh = int(w * 1.2), int(h * 1.2)
-    scaled = np.asarray(AUG.resize_bilinear(
-        jnp.asarray(img[None], jnp.float32), nh, nw))[0]
-    scaled = np.clip(np.round(scaled), 0, 255).astype(np.uint8)
-    slab, _ = AUG.scale_labels_norm(jnp.asarray(lab), w, h, 1.2)
-    out.append(("scale", scaled, _dedup4(np.asarray(slab))))
+    scaled = cv2.resize(img, (nw, nh))
+    slab = lab.astype(np.float64).copy()
+    if len(slab):
+        slab[:, 1::2] = np.clip(slab[:, 1::2] * (w * 1.2 / nw), 0.0, 1.0)
+        slab[:, 2::2] = np.clip(slab[:, 2::2] * (h * 1.2 / nh), 0.0, 1.0)
+        slab[:, 0] = lab[:, 0]
+    out.append(("scale", scaled, _dedup4(slab)))
 
-    # 2. shift +-30 px
+    # 2. shift +-30 px (integer translation == exact slice paste, zero
+    # fill — identical to the reference's warpAffine translate)
     dx, dy = rng.randint(-30, 30), rng.randint(-30, 30)
-    shifted = np.asarray(AUG.shift_image(
-        jnp.asarray(img[None], jnp.float32), dx, dy))[0].astype(np.uint8)
-    shlab = AUG.shift_labels_norm(jnp.asarray(lab), w, h, dx, dy)
-    out.append(("shift", shifted, _dedup4(np.asarray(shlab))))
+    shifted = np.zeros_like(img)
+    ys, yd = (slice(0, h - dy), slice(dy, h)) if dy >= 0 else \
+        (slice(-dy, h), slice(0, h + dy))
+    xs, xd = (slice(0, w - dx), slice(dx, w)) if dx >= 0 else \
+        (slice(-dx, w), slice(0, w + dx))
+    shifted[yd, xd] = img[ys, xs]
+    shlab = lab.astype(np.float64).copy()
+    if len(shlab):
+        shlab[:, 1::2] = np.clip((shlab[:, 1::2] * w + dx) / w, 0.0, 1.0)
+        shlab[:, 2::2] = np.clip((shlab[:, 2::2] * h + dy) / h, 0.0, 1.0)
+        shlab[:, 0] = lab[:, 0]
+    out.append(("shift", shifted, _dedup4(shlab)))
 
-    # 3. HSV jitter
+    # 3. HSV jitter (S, V x gain; `Train_OBB.py:492-500`)
     sg, vg = rng.uniform(0.6, 1.4), rng.uniform(0.6, 1.4)
-    hsvd = np.asarray(AUG.hsv_jitter(
-        jnp.asarray(img[None]), sg, vg)).astype(np.uint8)[0]
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.float32)
+    hsv[..., 1] = np.clip(hsv[..., 1] * sg, 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] * vg, 0, 255)
+    hsvd = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
     out.append(("hsv", hsvd, _dedup4(lab.copy())))
     return out
 
@@ -400,7 +416,8 @@ def convert_folder_to_4ch_tiff(src_img_dir: str, dst_img_dir: str,
             chunk = items[i:i + batch]
             imgs = np.stack([im for _, im in chunk])
             dt = np.asarray(DTE.dt_edge_channel(
-                jnp.asarray(imgs), cfg)).astype(np.uint8)
+                jnp.asarray(imgs), cfg,
+                use_pallas=DTE.default_use_pallas())).astype(np.uint8)
             for (fn, im), d in zip(chunk, dt):
                 rgb = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
                 chw = np.concatenate(

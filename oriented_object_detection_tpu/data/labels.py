@@ -16,10 +16,17 @@ import numpy as np
 
 
 def read_labels(label_path: str, img_w: int | None = None,
-                img_h: int | None = None) -> np.ndarray:
+                img_h: int | None = None, strict: bool = False) -> np.ndarray:
     """Returns [N, 9] float64 (cls, x1..y4). Normalized unless img_w/img_h
     given (then x/y are denormalized to pixels). Empty [0, 9] on any
-    problem."""
+    problem.
+
+    strict=False mirrors the train-side pandas reader
+    (`Train_OBB.py:228-261`): '#' comments honored, rows with >9 fields
+    truncated to the first 9, rows with <9 skipped. strict=True mirrors the
+    eval GT parser (`Detect_OBB.py:436-454`): a line must have EXACTLY 9
+    whitespace fields (no comment stripping) or it is skipped — the two
+    reference parsers genuinely differ and metrics parity needs both."""
     empty = np.zeros((0, 9), dtype=np.float64)
     if (not os.path.exists(label_path)
             or os.path.getsize(label_path) == 0):
@@ -28,11 +35,13 @@ def read_labels(label_path: str, img_w: int | None = None,
     try:
         with open(label_path, "r") as f:
             for line in f:
-                line = line.split("#", 1)[0].strip()
+                if not strict:
+                    line = line.split("#", 1)[0]
+                line = line.strip()
                 if not line:
                     continue
                 parts = line.split()
-                if len(parts) < 9:
+                if (len(parts) != 9) if strict else (len(parts) < 9):
                     continue
                 try:
                     vals = [float(p) for p in parts[:9]]
@@ -89,4 +98,4 @@ def load_gt_as_pixels(image_path: str) -> np.ndarray:
     if img is None:
         return np.zeros((0, 9), dtype=np.float64)
     h, w = img.shape[:2]
-    return read_labels(lp, img_w=w, img_h=h)
+    return read_labels(lp, img_w=w, img_h=h, strict=True)

@@ -3,8 +3,9 @@
 The reference's trainer validates per epoch through the engine (ultralytics
 computes mAP on the val tile set and tracks fitness for best.pt/patience).
 Here val tiles run through the jitted decode+NMS path in batches and the
-exact-IoU mAP evaluator scores them; fitness = mAP@0.5 (the dominant term
-of the engine's fitness blend).
+exact-IoU mAP evaluator scores them; fitness = 0.1*mAP@0.5 +
+0.9*mAP@[0.5:0.95] — the engine's fitness blend that drives best.pt and
+early-stop patience.
 """
 
 from __future__ import annotations
@@ -22,7 +23,8 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                    max_tiles: int | None = None,
                    batch_size: int = 16, conf_thr: float = 0.001,
                    use_ema: bool = True) -> float:
-    """mAP@0.5 of the current params over the val tile dataset."""
+    """Engine fitness (0.1*mAP@0.5 + 0.9*mAP@[0.5:0.95]) of the current
+    params over the val tile dataset."""
     import jax
     import jax.numpy as jnp
 
@@ -87,6 +89,9 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
             dets_per_image[key] = rows
 
     cache = M.GTCache(loader=lambda p: gt_map.get(p, np.zeros((0, 9))))
+    ious = [0.5 + 0.05 * i for i in range(10)]
     out = M.evaluate_map(dets_per_image, list(dets_per_image.keys()),
-                         [0.5], cache)
-    return float(out["mAP@0.5"])
+                         ious, cache)
+    map50 = float(out["mAP@0.5"])
+    map5095 = float(out["mAP@mean"])
+    return 0.1 * map50 + 0.9 * map5095

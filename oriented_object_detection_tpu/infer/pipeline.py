@@ -136,7 +136,8 @@ class TiledDetector:
 
         @functools.partial(jax.jit, static_argnames=())
         def run(params, tiles_u8, tiles_xywh, tile_valid, conf_thr):
-            x = DT.build_multich(tiles_u8, cfg.channels, cfg.dt_edge)
+            x = DT.build_multich(tiles_u8, cfg.channels, cfg.dt_edge,
+                                 use_pallas=cfg.use_pallas_edt)
             x = (x / 255.0).astype(dtype)
             out = model.apply(params, x)
             rbox, scores = D.decode_raw(out, tile_size)
@@ -176,7 +177,12 @@ class TiledDetector:
                 valid.reshape(-1, 1).astype(jnp.float32),
                 tile_id.reshape(-1, 1),
             ], axis=1)                                    # [T*Nd, 13]
-            k = min(max(self.cfg.max_det_per_map, T_b * 4), T_b * Nd)
+            if cfg.calculate_metrics:
+                # mAP sweeps depend on the low-conf tail (conf 0.001):
+                # never compact-drop in metrics mode — pack every slot.
+                k = T_b * Nd
+            else:
+                k = min(max(self.cfg.max_det_per_map, T_b * 4), T_b * Nd)
             key = jnp.where(valid.reshape(-1), dets["conf"].reshape(-1),
                             -1.0)
             _, top = jax.lax.top_k(key, k)
@@ -256,11 +262,24 @@ class TiledDetector:
         return (np.concatenate(rows) if rows
                 else np.zeros((0, F.DET_WIDTH), np.float64))
 
-    @classmethod
-    def _collect_scale(cls, packed, merge_iou: float) -> np.ndarray:
+    def _check_cap(self, flat: np.ndarray) -> None:
+        """Warn when the per-map compaction cap bound: every packed row
+        valid means conf-ranked rows below the cap were silently dropped
+        on device (predict mode only; metrics mode packs all slots)."""
+        if (not self.cfg.calculate_metrics and len(flat)
+                and bool((flat[:, 11] > 0.5).all())):
+            import warnings
+
+            warnings.warn(
+                f"per-map detection cap bound (all {len(flat)} packed rows "
+                "valid): low-confidence detections were dropped on device. "
+                "Raise DetectConfig.max_det_per_map.", RuntimeWarning)
+
+    def _collect_scale(self, packed, merge_iou: float) -> np.ndarray:
         """One D2H fetch + host merge."""
         flat = np.asarray(packed, np.float64)        # single fetch
-        return cls._merge_collected(flat[flat[:, 11] > 0.5], merge_iou)
+        self._check_cap(flat)
+        return self._merge_collected(flat[flat[:, 11] > 0.5], merge_iou)
 
     def detect_scale(self, image_bgr: np.ndarray, scale: ScaleConfig
                      ) -> np.ndarray:
@@ -287,6 +306,7 @@ class TiledDetector:
         for ts, (packed, segments) in pending.items():
             with prof.timed(f"detect/fetch_{ts}"):
                 flat = np.asarray(packed, np.float64)     # single fetch
+            self._check_cap(flat)
             flat = flat[flat[:, 11] > 0.5]
             with prof.timed(f"detect/merge_{ts}"):
                 for i, (start, tcount, tb) in enumerate(segments):

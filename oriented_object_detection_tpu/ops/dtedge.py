@@ -207,14 +207,27 @@ def dt_edge_channel(bgr: jnp.ndarray, cfg: DTEdgeConfig = DTEdgeConfig(),
     return jnp.floor(out * 255.0)  # astype(np.uint8) truncates
 
 
+def default_use_pallas() -> bool:
+    """Pallas pass-2 EDT kernel on TPU; chunked-XLA fallback elsewhere
+    (the kernel targets the TPU mosaic pipeline; CPU runs use interpret
+    mode only in tests)."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def build_multich(bgr: jnp.ndarray, out_channels: int,
                   cfg: DTEdgeConfig = DTEdgeConfig(),
-                  use_pallas: bool = False) -> jnp.ndarray:
+                  use_pallas: bool | None = None) -> jnp.ndarray:
     """Network input builder (`Detect_OBB.py:87-133`): 3ch -> RGB;
     4ch -> [R, G, B, DT-Edge]. Input BGR uint8 [B, H, W, 3]; output float32
-    [B, H, W, C] still in 0..255 (scaling /255 happens in the forward)."""
+    [B, H, W, C] still in 0..255 (scaling /255 happens in the forward).
+
+    use_pallas=None picks the Pallas EDT kernel automatically on TPU."""
     rgb = bgr[..., ::-1].astype(jnp.float32)
     if out_channels == 3:
         return rgb
+    if use_pallas is None:
+        use_pallas = default_use_pallas()
     dt = dt_edge_channel(bgr, cfg, use_pallas=use_pallas)
     return jnp.concatenate([rgb, dt[..., None]], axis=-1)

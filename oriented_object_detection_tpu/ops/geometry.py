@@ -69,9 +69,9 @@ def xywhr_to_corners8(xywhr: jnp.ndarray) -> jnp.ndarray:
 def corners8_to_xywhr(c8: jnp.ndarray) -> jnp.ndarray:
     """Best-effort inverse of `xywhr_to_corners8` (exact for rectangles).
 
-    w is the length of edge p1->p2 ... wait: with the corner order above,
-    p0->p1 spans -2*v2 (the 'h' edge) and p1->p2 spans -2*v1 (the 'w' edge).
-    We measure both adjacent edges and recover (w, h, theta).
+    With the corner order produced above, p0->p3 spans 2*v1 (the 'w' edge)
+    and p0->p1 spans 2*v2 (the 'h' edge); both adjacent edges are measured
+    to recover (w, h, theta).
     """
     pts = corners8_to_pts(c8)
     c = pts.mean(axis=-2)

@@ -46,7 +46,8 @@ def decay_mask(params) -> Any:
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     """Linear decay from lr0 to lr0*lrf over `epochs`, with linear warmup
-    over warmup_epochs (engine default 3.0)."""
+    from 0 over warmup_epochs (engine default 3.0). This is the non-bias
+    param-group schedule; see make_optimizer for the bias group."""
     total = cfg.epochs * steps_per_epoch
     warm = max(1, int(cfg.warmup_epochs * steps_per_epoch))
 
@@ -60,12 +61,56 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     return sched
 
 
+def bias_labels(params) -> Any:
+    """Label every `bias` leaf (conv biases, BN offsets) "bias" and the
+    rest "main" — the engine's g2 param group, which warms up from
+    warmup_bias_lr instead of 0 (ultralytics trainer warmup exercised at
+    Train_OBB.py:796-841)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree.structure(params)
+    labels = []
+    for path, _ in flat:
+        key = path[-1]
+        name = getattr(key, "key", getattr(key, "name", str(key)))
+        labels.append("bias" if str(name) == "bias" else "main")
+    return jax.tree.unflatten(treedef, labels)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params):
+    """SGD(nesterov) with the engine's warmup semantics: over the warmup
+    window (warmup_epochs) momentum ramps warmup_momentum->momentum (0.8 ->
+    0.937) and the bias group's lr ramps warmup_bias_lr->scheduled lr
+    (0.1 -> lr0) while all other groups ramp 0->scheduled lr. Weight decay
+    is applied pre-momentum (torch-SGD coupled semantics) on >=2D kernels
+    only."""
+    total = cfg.epochs * steps_per_epoch
+    warm = max(1, int(cfg.warmup_epochs * steps_per_epoch))
     sched = lr_schedule(cfg, steps_per_epoch)
+
+    def base_lr(step):
+        step = jnp.minimum(step, total - 1)
+        frac = step.astype(jnp.float32) / float(total)
+        return cfg.lr0 * (1.0 - frac) + (cfg.lr0 * cfg.lrf) * frac
+
+    def wfrac(step):
+        return jnp.clip(step.astype(jnp.float32) / warm, 0.0, 1.0)
+
+    def lr_bias(step):
+        w = wfrac(step)
+        return cfg.warmup_bias_lr * (1.0 - w) + base_lr(step) * w
+
+    def momentum(step):
+        w = wfrac(step)
+        return cfg.warmup_momentum * (1.0 - w) + cfg.momentum * w
+
     tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask(params)),
-        optax.sgd(learning_rate=sched, momentum=cfg.momentum,
-                  nesterov=True),
+        optax.inject_hyperparams(optax.trace, static_args=("nesterov",))(
+            decay=momentum, nesterov=True),
+        optax.multi_transform(
+            {"main": optax.scale_by_schedule(lambda s: -sched(s)),
+             "bias": optax.scale_by_schedule(lambda s: -lr_bias(s))},
+            param_labels=bias_labels(params)),
     )
     return tx, sched
 

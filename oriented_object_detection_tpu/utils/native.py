@@ -28,11 +28,15 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "libgeomobb.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always run make: it is a no-op when the .so is newer than geom.cpp,
+    # and rebuilds a stale .so after source edits (a prebuilt binary must
+    # never silently serve an old geometry algorithm). Only treat failure
+    # as fatal when no .so exists at all.
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(so):
             return None
     try:
         lib = ctypes.CDLL(so)

@@ -57,7 +57,7 @@ class ResultsWriter:
         if fit:
             axes[1].plot(ep[: len(fit)], fit)
         axes[1].set_xlabel("epoch")
-        axes[1].set_title("fitness (mAP@0.5)")
+        axes[1].set_title("fitness (0.1*mAP50 + 0.9*mAP50-95)")
         fig.tight_layout()
         fig.savefig(os.path.join(self.run_dir, "results.png"), dpi=100)
         plt.close(fig)

@@ -152,9 +152,16 @@ class TestDataParallel:
         state2, metrics2 = step_fn(state_b, batch)
         np.testing.assert_allclose(float(metrics["loss"]),
                                    float(metrics2["loss"]), rtol=1e-4)
-        l_a = np.asarray(jax.tree.leaves(new_state.params)[0])
-        l_b = np.asarray(jax.tree.leaves(state2.params)[0])
-        np.testing.assert_allclose(l_a, l_b, rtol=1e-4, atol=1e-6)
+        # bias params take a real step at warmup lr 0.1 from iteration 0
+        # (engine warmup semantics), so float32 reduction-order noise of
+        # the sharded BN/psum path (grad deltas ~1e-3 relative through
+        # batch-norm statistics) lands on params at up to ~1e-4 absolute.
+        # A transport bug would diverge at O(update) ~1e-2; compare EVERY
+        # leaf just above the noise floor.
+        for l_a, l_b in zip(jax.tree.leaves(new_state.params),
+                            jax.tree.leaves(state2.params)):
+            np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b),
+                                       rtol=2e-3, atol=1e-4)
 
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = TrainConfig(tile_size=64, model_scale="n",
