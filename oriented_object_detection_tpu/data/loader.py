@@ -4,8 +4,17 @@ Feeds the trainer from the list files the dataset builder writes
 (`train_cropped{TS}.txt` etc.), replacing the ultralytics dataloader the
 reference relies on (SURVEY.md §2.2 "OBB dataset loader"): list-file
 dataset, YOLO-OBB 8-point normalized labels -> (cx,cy,w,h,theta) targets,
-uint8 tiles -> float batches, with train-time augmentation (horizontal
-flip + HSV jitter at engine-default probabilities) applied device-batched.
+uint8 tiles -> float batches, with train-time augmentation (mosaic-4 +
+horizontal flip + HSV jitter at engine-default probabilities).
+
+The ENTIRE pixel path of the augmentation runs on device: the tile set is
+uploaded once as a [N, ts, ts, C] device cache, and each batch is one
+jitted program — gather 4 tiles/sample -> compose the 2ts x 2ts mosaic
+canvas (paste-as-gather) -> fixed-point affine warp (`ops/warp.py`) ->
+flip/HSV -> /255. No per-batch image H2D, no host cv2 warp in the hot
+loop (round-1 used cv2.warpAffine per sample). A host-mirror path
+(`mosaic4`, bit-identical by construction) remains for memory-constrained
+fallback and as the oracle in tests.
 
 Batches are padded to static shapes: images [B, ts, ts, C] float 0..1,
 gt_labels [B, M], gt_xywhr [B, M, 5] in pixels, gt_mask [B, M].
@@ -19,7 +28,11 @@ from typing import Iterator
 import numpy as np
 
 from ..ops import geometry as G
+from ..ops import warp as W
 from . import labels as L
+
+# device tile caches larger than this fall back to the host mosaic path
+DEVICE_CACHE_BUDGET_BYTES = 6 << 30
 
 
 def load_tile(path: str, channels: int = 3) -> np.ndarray:
@@ -72,6 +85,68 @@ def _augment_batch_fn(channels: int):
     return aug
 
 
+_MOSAIC_CACHE: dict = {}
+
+
+def _mosaic_batch_fn(ts: int, channels: int):
+    """The fused per-batch device program: gather 4 cached tiles/sample ->
+    mosaic canvas (paste-as-gather, no dynamic shapes) -> fixed-point
+    affine warp -> flip -> HSV -> /255. One dispatch per batch, zero image
+    H2D."""
+    key = (ts, channels)
+    if key in _MOSAIC_CACHE:
+        return _MOSAIC_CACHE[key]
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import augment as AUG
+
+    border = (114,) * channels
+
+    def compose(t4, yc1, xc1):
+        """2ts x 2ts mosaic canvas from 4 [ts,ts,C] tiles and the random
+        center — the same placement arithmetic as the host paste loops,
+        expressed as a gather (canvas px (y,x): quadrant q by (y>=yc,
+        x>=xc), source px (y,x) - center + ts on the low side)."""
+        yy = jnp.arange(2 * ts)[:, None]
+        xx = jnp.arange(2 * ts)[None, :]
+        q = 2 * (yy >= yc1).astype(jnp.int32) \
+            + (xx >= xc1).astype(jnp.int32)           # [2ts, 2ts]
+        sy = yy - yc1 + jnp.where(yy < yc1, ts, 0)
+        sx = xx - xc1 + jnp.where(xx < xc1, ts, 0)
+        ok = (sy >= 0) & (sy < ts) & (sx >= 0) & (sx < ts)
+        vals = t4[q, jnp.clip(sy, 0, ts - 1), jnp.clip(sx, 0, ts - 1)]
+        return jnp.where(ok[..., None], vals.astype(jnp.int32),
+                         jnp.asarray(border, jnp.int32)).astype(jnp.uint8)
+
+    def warp_one(canvas, ad, bd, X0, Y0):
+        return W.warp_affine_u8_dev(canvas, ad, bd, X0, Y0, border)
+
+    @jax.jit
+    def run(cache, idxs, yc, xc, ad, bd, X0, Y0, is_mosaic,
+            gb, flips, sg, vg):
+        tiles = cache[idxs]                            # [B, 4, ts, ts, C]
+        canvas = jax.vmap(compose)(tiles, yc, xc)
+        warped = jax.vmap(warp_one)(canvas, ad, bd, X0, Y0)
+        imgs = jnp.where(is_mosaic[:, None, None, None],
+                         warped, tiles[:, 0])
+        x = imgs.astype(jnp.float32)
+        fl = flips[:, None, None, None]
+        x = jnp.where(fl, AUG.fliplr_image(x), x)
+        if channels == 3:
+            x = AUG.hsv_jitter(x, sg, vg)
+        gb = jnp.where(
+            flips[:, None, None],
+            gb.at[..., 0].set(float(ts) - gb[..., 0])
+              .at[..., 4].multiply(-1.0),
+            gb)
+        return x / 255.0, gb
+
+    _MOSAIC_CACHE[key] = run
+    return run
+
+
 def label_path_for_tile(image_path: str) -> str:
     """images/ -> labels/ sibling layout used by the dataset builder."""
     d, fn = os.path.split(image_path)
@@ -94,9 +169,41 @@ class TileDataset:
         self.tile_size = tile_size
         self.channels = channels
         self.max_labels = max_labels
+        self._dev_cache = None          # jnp [N, ts, ts, C] uint8
+        self._dev_cache_failed = False
 
     def __len__(self):
         return len(self.paths)
+
+    def device_cache(self):
+        """All tiles resized to (ts, ts) as ONE device-resident uint8
+        array (single H2D — this box throttles host->device transfers, so
+        per-batch image uploads dominated epoch time). Returns None when
+        the set exceeds DEVICE_CACHE_BUDGET_BYTES or an image fails."""
+        if self._dev_cache is not None or self._dev_cache_failed:
+            return self._dev_cache
+        import cv2
+        import jax.numpy as jnp
+
+        ts, C, N = self.tile_size, self.channels, len(self.paths)
+        if N * ts * ts * C > DEVICE_CACHE_BUDGET_BYTES:
+            self._dev_cache_failed = True
+            return None
+        arr = np.zeros((N, ts, ts, C), np.uint8)
+        try:
+            for i, p in enumerate(self.paths):
+                img = load_tile(p, C)
+                if img.shape[:2] != (ts, ts):
+                    img = cv2.resize(img, (ts, ts))
+                    if img.ndim == 2:
+                        img = img[..., None]
+                arr[i] = img
+        except Exception as e:
+            print(f"[Loader] device cache disabled: {e}")
+            self._dev_cache_failed = True
+            return None
+        self._dev_cache = jnp.asarray(arr)
+        return self._dev_cache
 
     def get(self, i: int):
         p = self.paths[i]
@@ -116,20 +223,68 @@ class TileDataset:
         cls = lab[:, 0] if len(lab) else np.zeros((0,))
         return img, cls, c8
 
-    def mosaic4(self, i: int, rng: np.random.RandomState):
-        """4-tile mosaic + random scale/translate affine back to (ts, ts),
-        engine-style (mosaic=1.0, scale=0.5, translate=0.1). Returns
-        (image uint8 [ts,ts,C], cls [N], corners8 px [N,8])."""
-        import cv2
-
+    def mosaic_params(self, i: int, rng: np.random.RandomState):
+        """All randomness of one mosaic sample, drawn in the same rng call
+        order as round-1's mosaic4 (streams stay reproducible):
+        (idxs[4], yc, xc, s, tx, ty) — mosaic=1.0, scale U(0.5,1.5),
+        translate +-0.1, engine-style."""
         ts = self.tile_size
         idxs = [i] + list(rng.randint(0, len(self.paths), 3))
-        canvas = np.full((2 * ts, 2 * ts, self.channels), 114, np.uint8)
         yc = int(rng.uniform(0.5 * ts, 1.5 * ts))
         xc = int(rng.uniform(0.5 * ts, 1.5 * ts))
+        s = rng.uniform(0.5, 1.5)
+        tx = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
+        ty = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
+        return idxs, yc, xc, s, tx, ty
+
+    def _labels_sized(self, i: int):
+        """Labels of tile i in PIXEL corner coords at (ts, ts)."""
+        lab = L.read_labels(label_path_for_tile(self.paths[i]))
+        ts = self.tile_size
+        c8 = lab[:, 1:] * ts if len(lab) else np.zeros((0, 8))
+        cls = lab[:, 0] if len(lab) else np.zeros((0,))
+        return cls, c8
+
+    def mosaic_labels(self, params):
+        """Label math of the mosaic (host, bit-identical to round-1):
+        per-tile shift into canvas coords, affine, center/keep filter."""
+        idxs, yc, xc, s, tx, ty = params
+        ts = self.tile_size
         cls_all, c8_all = [], []
         for k, idx in enumerate(idxs):
-            img, cls, c8 = self._get_sized(idx)
+            cls, c8 = self._labels_sized(idx)
+            if len(c8):
+                shifted = c8.copy()
+                # x1a - x1b / y1a - y1b of the paste rectangles reduce to
+                # center offsets: low side of the center shifts by -ts
+                shifted[:, 0::2] += (xc - ts) if k in (0, 2) else xc
+                shifted[:, 1::2] += (yc - ts) if k in (0, 1) else yc
+                cls_all.append(cls)
+                c8_all.append(shifted)
+        cls_m = np.concatenate(cls_all) if cls_all else np.zeros((0,))
+        c8_m = np.concatenate(c8_all) if c8_all else np.zeros((0, 8))
+        if len(c8_m):
+            pts = c8_m.reshape(-1, 4, 2)
+            pts = pts * s + np.array([tx, ty])
+            c8_m = pts.reshape(-1, 8)
+            cx = c8_m[:, 0::2].mean(1)
+            cy = c8_m[:, 1::2].mean(1)
+            wh_ok = (np.ptp(c8_m[:, 0::2], axis=1) > 2) & \
+                    (np.ptp(c8_m[:, 1::2], axis=1) > 2)
+            keep = (cx >= 0) & (cx < ts) & (cy >= 0) & (cy < ts) & wh_ok
+            cls_m, c8_m = cls_m[keep], c8_m[keep]
+        return cls_m, c8_m
+
+    def mosaic_pixels_host(self, params) -> np.ndarray:
+        """Host mirror of the device mosaic pixel path (fallback when the
+        device cache is unavailable; oracle in tests). Bit-identical to
+        `_mosaic_batch_fn` by construction (same paste arithmetic, same
+        fixed-point warp)."""
+        idxs, yc, xc, s, tx, ty = params
+        ts = self.tile_size
+        canvas = np.full((2 * ts, 2 * ts, self.channels), 114, np.uint8)
+        for k, idx in enumerate(idxs):
+            img, _, _ = self._get_sized(idx)
             if k == 0:    # top-left of center
                 x1a, y1a = max(xc - ts, 0), max(yc - ts, 0)
                 x2a, y2a = xc, yc
@@ -148,45 +303,38 @@ class TileDataset:
                 x1b, y1b = 0, 0
             x2b, y2b = x1b + (x2a - x1a), y1b + (y2a - y1a)
             canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
-            if len(c8):
-                shifted = c8.copy()
-                shifted[:, 0::2] += x1a - x1b
-                shifted[:, 1::2] += y1a - y1b
-                cls_all.append(cls)
-                c8_all.append(shifted)
+        M = np.array([[s, 0, tx], [0, s, ty]], np.float64)
+        return W.warp_affine_u8_np(canvas, W.invert_affine(M), ts, ts,
+                                   (114,) * self.channels)
 
-        cls_m = np.concatenate(cls_all) if cls_all else np.zeros((0,))
-        c8_m = np.concatenate(c8_all) if c8_all else np.zeros((0, 8))
-
-        # affine: scale U(0.5, 1.5), translate +-0.1, output ts x ts
-        s = rng.uniform(0.5, 1.5)
-        tx = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
-        ty = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
-        M = np.array([[s, 0, tx], [0, s, ty]], np.float32)
-        out = cv2.warpAffine(canvas, M, (ts, ts),
-                             borderValue=(114,) * self.channels)
-        if out.ndim == 2:
-            out = out[..., None]
-        if len(c8_m):
-            pts = c8_m.reshape(-1, 4, 2)
-            pts = pts * s + np.array([tx, ty])
-            c8_m = pts.reshape(-1, 8)
-            cx = c8_m[:, 0::2].mean(1)
-            cy = c8_m[:, 1::2].mean(1)
-            wh_ok = (np.ptp(c8_m[:, 0::2], axis=1) > 2) & \
-                    (np.ptp(c8_m[:, 1::2], axis=1) > 2)
-            keep = (cx >= 0) & (cx < ts) & (cy >= 0) & (cy < ts) & wh_ok
-            cls_m, c8_m = cls_m[keep], c8_m[keep]
-        return out, cls_m, c8_m
+    def mosaic4(self, i: int, rng: np.random.RandomState):
+        """4-tile mosaic + random scale/translate affine back to (ts, ts).
+        Returns (image uint8 [ts,ts,C], cls [N], corners8 px [N,8])."""
+        params = self.mosaic_params(i, rng)
+        cls_m, c8_m = self.mosaic_labels(params)
+        return self.mosaic_pixels_host(params), cls_m, c8_m
 
     def batches(self, batch_size: int, rng: np.random.RandomState,
                 shuffle: bool = True, augment: bool = True,
                 mosaic_p: float = 1.0, fliplr_p: float = 0.5,
                 hsv_s: float = 0.7, hsv_v: float = 0.4,
-                drop_last: bool = True) -> Iterator[dict]:
-        """Yield padded batch dicts ready for the train step."""
+                drop_last: bool = True,
+                device_mosaic: bool | None = None) -> Iterator[dict]:
+        """Yield padded batch dicts ready for the train step.
+
+        device_mosaic: True = gather/compose/warp on device from the tile
+        cache (default when the cache fits the budget), False = host
+        mirror path. Both paths produce BIT-IDENTICAL batches for the
+        same rng (tested)."""
         import jax.numpy as jnp
 
+        cache = None
+        if augment and device_mosaic is not False:
+            cache = self.device_cache()
+            if cache is None and device_mosaic is True:
+                raise RuntimeError("device mosaic requested but the tile "
+                                   "cache could not be built")
+        use_dev = cache is not None
 
         order = np.arange(len(self.paths))
         if shuffle:
@@ -198,16 +346,38 @@ class TileDataset:
         for s in range(0, max(end, 0), batch_size):
             idx = order[s:s + batch_size]
             B = len(idx)
-            imgs = np.zeros((B, ts, ts, self.channels), np.uint8)
             gl = np.zeros((B, M), np.int32)
             gb = np.zeros((B, M, 5), np.float32)
             gm = np.zeros((B, M), bool)
+            imgs = None if use_dev else np.zeros(
+                (B, ts, ts, self.channels), np.uint8)
+            # device-path per-sample params
+            tidx = np.zeros((B, 4), np.int32)
+            yc = np.zeros((B,), np.int32)
+            xc = np.zeros((B,), np.int32)
+            wtab = np.zeros((B, 4, ts), np.int32)  # adelta/bdelta/X0/Y0
+            is_mos = np.zeros((B,), bool)
+
             for bi, i in enumerate(idx):
                 if augment and rng.rand() < mosaic_p:
-                    img, cls, c8 = self.mosaic4(i, rng)
+                    params = self.mosaic_params(i, rng)
+                    cls, c8 = self.mosaic_labels(params)
+                    if use_dev:
+                        idxs, yc_i, xc_i, sc, tx, ty = params
+                        tidx[bi], yc[bi], xc[bi] = idxs, yc_i, xc_i
+                        Minv = W.invert_affine(
+                            np.array([[sc, 0, tx], [0, sc, ty]]))
+                        wtab[bi] = W.affine_deltas(Minv, ts, ts)
+                        is_mos[bi] = True
+                    else:
+                        imgs[bi] = self.mosaic_pixels_host(params)
                 else:
-                    img, cls, c8 = self._get_sized(i)
-                imgs[bi] = img
+                    if use_dev:
+                        tidx[bi] = i
+                        cls, c8 = self._labels_sized(i)
+                    else:
+                        img, cls, c8 = self._get_sized(i)
+                        imgs[bi] = img
                 if len(cls):
                     cls, c8 = cls[:M], c8[:M]
                     xywhr = G.corners8_to_xywhr_np(c8)
@@ -216,20 +386,30 @@ class TileDataset:
                     gb[bi, :k] = xywhr
                     gm[bi, :k] = True
 
-            x = jnp.asarray(imgs, jnp.float32)
             gbj = jnp.asarray(gb)
             if augment:
-                # horizontal flip (per-sample), HSV jitter (per-batch),
-                # executed as ONE jitted device program
+                # horizontal flip (per-sample), HSV jitter (per-batch)
                 flips = rng.rand(B) < fliplr_p
                 sg = max(1.0 + rng.uniform(-1, 1) * hsv_s, 0.0)
                 vg = max(1.0 + rng.uniform(-1, 1) * hsv_v, 0.0)
-                aug = _augment_batch_fn(self.channels)
-                x, gbj = aug(x, gbj, jnp.asarray(flips),
-                             jnp.float32(sg), jnp.float32(vg),
-                             jnp.float32(ts))
+                if use_dev:
+                    run = _mosaic_batch_fn(ts, self.channels)
+                    x, gbj = run(cache, jnp.asarray(tidx),
+                                 jnp.asarray(yc), jnp.asarray(xc),
+                                 jnp.asarray(wtab[:, 0]),
+                                 jnp.asarray(wtab[:, 1]),
+                                 jnp.asarray(wtab[:, 2]),
+                                 jnp.asarray(wtab[:, 3]),
+                                 jnp.asarray(is_mos), gbj,
+                                 jnp.asarray(flips), jnp.float32(sg),
+                                 jnp.float32(vg))
+                else:
+                    aug = _augment_batch_fn(self.channels)
+                    x, gbj = aug(jnp.asarray(imgs, jnp.float32), gbj,
+                                 jnp.asarray(flips), jnp.float32(sg),
+                                 jnp.float32(vg), jnp.float32(ts))
             else:
-                x = x / 255.0
+                x = jnp.asarray(imgs, jnp.float32) / 255.0
 
             yield {
                 "images": x,

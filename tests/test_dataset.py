@@ -182,3 +182,47 @@ class TestLoader:
         batch = next(ds.batches(2, np.random.RandomState(3),
                                 augment=True))
         assert np.isfinite(np.asarray(batch["images"])).all()
+
+
+class TestDeviceMosaic:
+    """Device gather/compose/warp mosaic vs the host mirror path: the two
+    modes must produce BIT-IDENTICAL batches for the same rng stream."""
+
+    def _build(self, corpus, name):
+        out_i = str(corpus / f"{name}/images")
+        out_l = str(corpus / f"{name}/labels")
+        lst = str(corpus / f"{name}.txt")
+        DS.build_train_tiles(
+            str(corpus / "images"), str(corpus / "labels"),
+            out_i, out_l, lst, 100, 20)
+        return TileDataset(lst, tile_size=100, channels=3, max_labels=8)
+
+    def test_device_equals_host_batches(self, corpus):
+        ds = self._build(corpus, "dmcrop")
+        assert ds.device_cache() is not None
+        b_dev = list(ds.batches(2, np.random.RandomState(5), augment=True,
+                                device_mosaic=True))
+        b_host = list(ds.batches(2, np.random.RandomState(5), augment=True,
+                                 device_mosaic=False))
+        assert len(b_dev) == len(b_host) > 0
+        for bd, bh in zip(b_dev, b_host):
+            assert (np.asarray(bd["gt_labels"])
+                    == np.asarray(bh["gt_labels"])).all()
+            assert (np.asarray(bd["gt_mask"])
+                    == np.asarray(bh["gt_mask"])).all()
+            np.testing.assert_array_equal(np.asarray(bd["gt_xywhr"]),
+                                          np.asarray(bh["gt_xywhr"]))
+            np.testing.assert_array_equal(np.asarray(bd["images"]),
+                                          np.asarray(bh["images"]))
+
+    def test_mosaic4_labels_within_bounds(self, corpus):
+        ds = self._build(corpus, "dmcrop2")
+        rng = np.random.RandomState(9)
+        for _ in range(4):
+            img, cls, c8 = ds.mosaic4(0, rng)
+            assert img.shape == (100, 100, 3)
+            if len(c8):
+                cx = c8[:, 0::2].mean(1)
+                cy = c8[:, 1::2].mean(1)
+                assert (cx >= 0).all() and (cx < 100).all()
+                assert (cy >= 0).all() and (cy < 100).all()

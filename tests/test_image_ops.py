@@ -55,3 +55,63 @@ class TestElastic:
             jnp.asarray(img), jax.random.PRNGKey(1), alpha=0.0,
             sigma=1.0))
         np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-3)
+
+
+class TestWarpAffine:
+    """ops/warp.py: deterministic fixed-point affine warp (the device
+    mosaic resample)."""
+
+    def _rand_case(self, rng):
+        H = W = int(rng.choice([64, 97, 128]))
+        C = int(rng.choice([1, 3, 4]))
+        img = rng.randint(0, 256, (H, W, C), np.uint8)
+        ts = int(rng.choice([48, 64]))
+        s = rng.uniform(0.5, 1.5)
+        tx = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
+        ty = ts * (0.5 + rng.uniform(-0.1, 0.1)) - s * ts
+        M = np.array([[s, 0, tx], [0, s, ty]], np.float32)
+        return img, M, ts, C
+
+    def test_device_matches_numpy_mirror_bitexact(self):
+        from oriented_object_detection_tpu.ops import warp as W
+
+        rng = np.random.RandomState(11)
+        for _ in range(6):
+            img, M, ts, C = self._rand_case(rng)
+            ours_np = W.warp_affine_u8_np(img, W.invert_affine(M), ts, ts,
+                                          (114,) * C)
+            ours_dev = np.asarray(
+                W.warp_affine_u8(img, M, ts, ts, (114,) * C))
+            assert (ours_np == ours_dev).all()
+
+    def test_within_one_gray_level_of_cv2(self):
+        from oriented_object_detection_tpu.ops import warp as W
+
+        rng = np.random.RandomState(12)
+        for _ in range(6):
+            img, M, ts, C = self._rand_case(rng)
+            ref = cv2.warpAffine(img, M, (ts, ts), borderValue=(114,) * C)
+            if ref.ndim == 2:
+                ref = ref[..., None]
+            ours = W.warp_affine_u8_np(img, W.invert_affine(M), ts, ts,
+                                       (114,) * C)
+            assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_identity_matrix_is_copy(self):
+        from oriented_object_detection_tpu.ops import warp as W
+
+        rng = np.random.RandomState(13)
+        img = rng.randint(0, 256, (32, 32, 3), np.uint8)
+        M = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float64)
+        out = W.warp_affine_u8_np(img, W.invert_affine(M), 32, 32,
+                                  (114,) * 3)
+        assert (out == img).all()
+
+    def test_constant_border(self):
+        from oriented_object_detection_tpu.ops import warp as W
+
+        img = np.full((8, 8, 3), 200, np.uint8)
+        # shift far out of range: everything is border
+        M = np.array([[1.0, 0, 100.0], [0, 1.0, 100.0]], np.float64)
+        out = W.warp_affine_u8_np(img, W.invert_affine(M), 8, 8, (114,) * 3)
+        assert (out == 114).all()
