@@ -140,7 +140,11 @@ def _train(args):
         epochs=args.epochs, batch_size=args.batch_size,
         channels=args.channels, model_scale=args.scale,
         need_cropping=not args.skip_cropping,
-        need_augmentation=not args.skip_augmentation)
+        need_augmentation=not args.skip_augmentation,
+        # channels==4 implies the DT-Edge TIFF build: the 4ch stem needs
+        # 4ch inputs (`Train_OBB.py:763-787` gates on APPLY_FILTERED_RGB;
+        # our flag mirrors it but defaults on for 4ch training)
+        apply_filtered_rgb=args.channels == 4 or args.filtered_rgb)
 
     root = args.data_root
     ts = cfg.tile_size
@@ -252,6 +256,9 @@ def main(argv=None):
     t.add_argument("--scale", default="x")
     t.add_argument("--skip-cropping", action="store_true")
     t.add_argument("--skip-augmentation", action="store_true")
+    t.add_argument("--filtered-rgb", action="store_true",
+                   help="build the 4ch DT-Edge TIFF dataset "
+                        "(implied by --channels 4)")
     t.add_argument("--resume", action="store_true",
                    help="resume from <ckpt-dir>/last.ckpt")
     t.add_argument("--ckpt-dir")

@@ -110,18 +110,22 @@ def compute_pr_for_class(dets: list, gts: dict, iou_lookup, iou_thr: float):
     tp = np.zeros(len(dets))
     fp = np.zeros(len(dets))
     matched = {img: np.zeros(len(v), dtype=bool) for img, v in gts.items()}
+    gt_rows_np = {img: np.asarray(v, dtype=int) for img, v in gts.items()}
 
     for rank, di in enumerate(order):
         img, det_idx, _ = dets[di]
-        gt_rows = gts.get(img, [])
+        rows = gt_rows_np.get(img)
         best_iou, best_j = 0.0, -1
-        iou_m = iou_lookup(img)
-        for j, gt_row in enumerate(gt_rows):
-            if matched[img][j]:
-                continue
-            iou = iou_m[det_idx, gt_row]
-            if iou > best_iou:
-                best_iou, best_j = iou, j
+        if rows is not None and len(rows):
+            # greedy best-unused same-class GT; the reference scans with a
+            # strict `iou > best` from 0.0 (first maximal index wins,
+            # zero-IoU GTs never selected) — argmax over the masked row
+            # reproduces that exactly
+            cand = np.where(matched[img], 0.0,
+                            iou_lookup(img)[det_idx, rows])
+            j = int(np.argmax(cand))
+            if cand[j] > 0.0:
+                best_iou, best_j = float(cand[j]), j
         if best_iou >= iou_thr and best_j >= 0:
             tp[rank] = 1
             matched[img][best_j] = True
@@ -146,24 +150,42 @@ def evaluate_map(dets_per_image: dict, all_images: Iterable[str],
     class_ids = sorted({
         int(c) for img in all_images for c in cache.gt(img)[:, 0]})
 
+    # Hoist the per-class det/GT indexing out of the IoU sweep: the
+    # reference rebuilds these lists (and re-reads GT files) for every
+    # class x threshold combination; the lists do not depend on the
+    # threshold, and ordering here (image order, then ascending det
+    # index) matches the reference's nested loops exactly.
+    arrs = {
+        img: np.asarray(dets_per_image.get(img, np.zeros((0, 11)))
+                        ).reshape(-1, 11)
+        for img in all_images
+    }
+    per_class_dets: dict[int, list] = {cid: [] for cid in class_ids}
+    per_class_gts: dict[int, dict] = {cid: {} for cid in class_ids}
+    for img in all_images:
+        arr = arrs[img]
+        cls_col = arr[:, 8].astype(int)
+        score = arr[:, 9]
+        g = cache.gt(img)
+        gcls = g[:, 0].astype(int)
+        for cid in class_ids:
+            sel = np.where((cls_col == cid) & (score >= map_min_score))[0]
+            per_class_dets[cid].extend(
+                (img, int(i), float(score[i])) for i in sel)
+            per_class_gts[cid][img] = [
+                int(j) for j in np.where(gcls == cid)[0]]
+        if len(arr):
+            cache.iou(arr, img)  # warm the matrix once per image
+
+    def lookup(img):
+        return cache.iou(arrs[img], img)
+
     per_iou = {}
     for iou_thr in iou_list:
         aps = []
         for cid in class_ids:
-            dets, gts = [], {}
-            for img in all_images:
-                arr = np.asarray(dets_per_image.get(img, np.zeros((0, 11))))
-                arr = arr.reshape(-1, 11)
-                for i in range(len(arr)):
-                    if int(arr[i, 8]) == cid and arr[i, 9] >= map_min_score:
-                        dets.append((img, i, float(arr[i, 9])))
-                g = cache.gt(img)
-                gts[img] = [j for j in range(len(g))
-                            if int(g[j, 0]) == cid]
-            lookup = (lambda img: cache.iou(
-                np.asarray(dets_per_image.get(img, np.zeros((0, 11)))
-                           ).reshape(-1, 11), img))
-            _, _, ap, *_ = compute_pr_for_class(dets, gts, lookup, iou_thr)
+            _, _, ap, *_ = compute_pr_for_class(
+                per_class_dets[cid], per_class_gts[cid], lookup, iou_thr)
             aps.append(ap)
         per_iou[round(float(iou_thr), 2)] = (float(np.mean(aps))
                                              if aps else 0.0)

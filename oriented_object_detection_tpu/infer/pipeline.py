@@ -122,10 +122,12 @@ class TiledDetector:
         self._fns = {}
 
     # ------------------------------------------------------------------
-    def _tile_fn(self, tile_size: int):
-        """Build (and cache) the jitted whole-batch program for a scale."""
-        if tile_size in self._fns:
-            return self._fns[tile_size]
+    def _scale_body(self, tile_size: int):
+        """The traced per-scale compute body (unjitted):
+        (params, tiles_u8, tiles_xywh, tile_valid, conf_thr) -> packed
+        [K, 13] detections."""
+        if ("body", tile_size) in self._fns:
+            return self._fns[("body", tile_size)]
 
         cfg = self.cfg
         model = self.models[tile_size]
@@ -134,7 +136,6 @@ class TiledDetector:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
             else jnp.float32
 
-        @functools.partial(jax.jit, static_argnames=())
         def run(params, tiles_u8, tiles_xywh, tile_valid, conf_thr):
             x = DT.build_multich(tiles_u8, cfg.channels, cfg.dt_edge,
                                  use_pallas=cfg.use_pallas_edt)
@@ -188,7 +189,41 @@ class TiledDetector:
             _, top = jax.lax.top_k(key, k)
             return flat[top]
 
-        self._fns[tile_size] = run
+        self._fns[("body", tile_size)] = run
+        return run
+
+    def _tile_fn(self, tile_size: int):
+        """Jitted whole-batch program over an already-extracted tile
+        batch (the mesh-sharded path uses this so the tile batch can be
+        device_put with a data-axis sharding first)."""
+        key = ("jit", tile_size)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(self._scale_body(tile_size))
+        return self._fns[key]
+
+    def _tile_fn_fused(self, tile_size: int, shapes: tuple,
+                       segments: tuple):
+        """Jitted program that FUSES tile extraction with the scale body:
+        takes the raw device images and the padded grid and gathers the
+        tile batch in-graph — one dispatch per scale with no intermediate
+        eager gather programs or extra HBM round trip. Compiled per
+        (scale, image-shape-set); the persistent compilation cache makes
+        repeats cheap."""
+        key = ("fused", tile_size, shapes, segments)
+        if key in self._fns:
+            return self._fns[key]
+        body = self._scale_body(tile_size)
+
+        @jax.jit
+        def run(params, images, grids, valid, conf_thr):
+            parts = [
+                T.extract_tiles(images[i], grids[o:o + tb, :2], tile_size)
+                for i, (o, tcount, tb) in enumerate(segments)
+            ]
+            tiles = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            return body(params, tiles, grids, valid, conf_thr)
+
+        self._fns[key] = run
         return run
 
     # ------------------------------------------------------------------
@@ -206,7 +241,7 @@ class TiledDetector:
         n_shards = (self.mesh.shape.get("data", 1)
                     if self.mesh is not None else 1)
 
-        tile_parts, grid_parts, valid_parts, segments = [], [], [], []
+        grid_parts, valid_parts, segments = [], [], []
         offset = 0
         for img in images_bgr:
             h, w = img.shape[:2]
@@ -217,30 +252,44 @@ class TiledDetector:
             grid_p[:tcount] = grid
             tile_valid = np.zeros((tb,), bool)
             tile_valid[:tcount] = True
-            # jnp.asarray on an already-device array is a no-op, so
-            # callers pre-transfer each image ONCE and share it across
-            # scales (H2D through the tunnel is expensive; see CLAUDE.md)
-            tile_parts.append(T.extract_tiles(
-                jnp.asarray(img), jnp.asarray(grid_p[:, :2]), ts))
             grid_parts.append(grid_p)
             valid_parts.append(tile_valid)
             segments.append((offset, tcount, tb))
             offset += tb
 
-        tiles = (tile_parts[0] if len(tile_parts) == 1
-                 else jnp.concatenate(tile_parts))
         grid_j = jnp.asarray(np.concatenate(grid_parts))
         valid_j = jnp.asarray(np.concatenate(valid_parts))
-        if self.mesh is not None:
-            from ..parallel import mesh as PM
-
-            sh = PM.batch_sharding(self.mesh)
-            tiles = jax.device_put(tiles, sh)
-            grid_j = jax.device_put(grid_j, sh)
-            valid_j = jax.device_put(valid_j, sh)
-
         conf_thr = (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
                     else self.cfg.conf_thr_predict)
+
+        if self.mesh is None:
+            # jnp.asarray on an already-device array is a no-op, so
+            # callers pre-transfer each image ONCE and share it across
+            # scales (H2D through the tunnel is expensive; see CLAUDE.md).
+            # Tile extraction runs IN-GRAPH (fused program) — no eager
+            # gather dispatches, no intermediate tile buffer round trip.
+            images_dev = tuple(jnp.asarray(img) for img in images_bgr)
+            run = self._tile_fn_fused(
+                ts, tuple(im.shape for im in images_dev), tuple(segments))
+            packed = run(self.params[ts], images_dev, grid_j, valid_j,
+                         jnp.float32(conf_thr))
+            return packed, segments
+
+        # mesh path: extract first so the tile batch can be device_put
+        # with the data-axis sharding (inference DP across chips)
+        from ..parallel import mesh as PM
+
+        tile_parts = [
+            T.extract_tiles(jnp.asarray(img),
+                            jnp.asarray(grid_parts[i][:, :2]), ts)
+            for i, img in enumerate(images_bgr)
+        ]
+        tiles = (tile_parts[0] if len(tile_parts) == 1
+                 else jnp.concatenate(tile_parts))
+        sh = PM.batch_sharding(self.mesh)
+        tiles = jax.device_put(tiles, sh)
+        grid_j = jax.device_put(grid_j, sh)
+        valid_j = jax.device_put(valid_j, sh)
         run = self._tile_fn(ts)
         packed = run(self.params[ts], tiles, grid_j, valid_j,
                      jnp.float32(conf_thr))
@@ -303,9 +352,21 @@ class TiledDetector:
                 for sc in self.cfg.scales
             }
         per_image: list[dict] = [dict() for _ in images_bgr]
-        for ts, (packed, segments) in pending.items():
-            with prof.timed(f"detect/fetch_{ts}"):
-                flat = np.asarray(packed, np.float64)     # single fetch
+        # ONE D2H fetch for every scale: each fetch costs ~35-70 ms of
+        # RPC latency through the TPU tunnel regardless of size, so the
+        # per-scale packed results are concatenated on device (cheap) and
+        # pulled in a single transfer, then split by known row counts.
+        order = list(pending.items())
+        with prof.timed("detect/fetch"):
+            if len(order) > 1:
+                joined = jnp.concatenate([p for _, (p, _) in order])
+                flat_all = np.asarray(joined, np.float64)
+            else:
+                flat_all = np.asarray(order[0][1][0], np.float64)
+        offset_rows = 0
+        for ts, (packed, segments) in order:
+            flat = flat_all[offset_rows:offset_rows + packed.shape[0]]
+            offset_rows += packed.shape[0]
             self._check_cap(flat)
             flat = flat[flat[:, 11] > 0.5]
             with prof.timed(f"detect/merge_{ts}"):
@@ -336,18 +397,28 @@ class TiledDetector:
         consensus+merged dets (`merged_for_pr`) and, under
         calculate_metrics, the wide pre-consensus union (`merged_for_map`)
         — mirroring `process_image` (`Detect_OBB.py:268-345`)."""
-        # dispatch all scales before collecting any: the per-scale device
-        # programs overlap, each scale costs exactly one D2H fetch, and
-        # the image transfers to the device exactly once
+        # dispatch all scales before collecting any (the per-scale device
+        # programs overlap), transfer the image once, and pull ALL scales'
+        # packed results in ONE D2H fetch (each fetch costs ~35-70 ms of
+        # tunnel RPC latency)
         img_dev = jnp.asarray(image_bgr)
-        pending = {
-            sc.tile_size: self._dispatch_scale(img_dev, sc)
+        pending = [
+            (sc.tile_size, self._dispatch_scale(img_dev, sc))
             for sc in self.cfg.scales
-        }
-        dets_by_scale = {
-            ts: self._collect_scale(packed, self.cfg.merge_iou)
-            for ts, packed in pending.items()
-        }
+        ]
+        if len(pending) > 1:
+            joined = jnp.concatenate([p for _, p in pending])
+            flat_all = np.asarray(joined, np.float64)
+        else:
+            flat_all = np.asarray(pending[0][1], np.float64)
+        dets_by_scale = {}
+        off = 0
+        for ts, packed in pending:
+            flat = flat_all[off:off + packed.shape[0]]
+            off += packed.shape[0]
+            self._check_cap(flat)
+            dets_by_scale[ts] = self._merge_collected(
+                flat[flat[:, 11] > 0.5], self.cfg.merge_iou)
         return self._finalize(dets_by_scale)
 
 

@@ -30,7 +30,14 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id)
     except RuntimeError as e:
+        # double-initialization is a no-op; "must be called before any
+        # JAX calls" is real misuse and propagates
         if "already" not in str(e).lower():
+            raise
+    except ValueError as e:
+        # single host with no cluster environment: coordinator address
+        # cannot be auto-detected — the single-process runtime is fine
+        if "coordinator_address" not in str(e):
             raise
 
 

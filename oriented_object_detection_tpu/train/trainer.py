@@ -275,13 +275,16 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         results.append(
             epoch=epoch, fitness=fitness,
             **{k: (sums[k] / max(count, 1)) for k in sums})
+        meta = {"model_scale": cfg.model_scale, "channels": cfg.channels,
+                "tile_size": cfg.tile_size}
         if fitness > best:
             best, best_epoch = fitness, epoch
             save_checkpoint(os.path.join(ckpt_dir, "best.ckpt"), state,
-                            {"epoch": epoch, "fitness": fitness})
+                            {"epoch": epoch, "fitness": fitness, **meta})
         save_checkpoint(os.path.join(ckpt_dir, "last.ckpt"), state,
                         {"epoch": epoch, "fitness": fitness,
-                         "best_fitness": best, "best_epoch": best_epoch})
+                         "best_fitness": best, "best_epoch": best_epoch,
+                         **meta})
         if epoch - best_epoch >= cfg.patience:
             print(f"[EarlyStop] no improvement for {cfg.patience} epochs "
                   f"(best fitness {best:.4f} @ epoch {best_epoch})")

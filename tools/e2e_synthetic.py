@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--scale", default="n")
     p.add_argument("--root", default="runs/e2e_synth")
+    p.add_argument("--channels", type=int, default=3, choices=(3, 4),
+                   help="4 = DT-Edge 4ch variant: trains/detects the 416 "
+                        "scale only, like the reference's best416_4ch "
+                        "config (README.md:102-108)")
     args = p.parse_args(argv)
 
     import cv2
@@ -58,25 +62,45 @@ def main(argv=None):
 
     from oriented_object_detection_tpu.cli import main as cli_main
 
-    for ts, ov in ((128, 32), (416, 100)):
-        ck = f"{root}/run{ts}"
+    ch = args.channels
+    suffix = "_4ch" if ch == 4 else ""
+    # 4ch mirrors the reference's single 4ch config (tile 416 only; the
+    # reference's APPLY_FILTERED_RGB path builds one cropped4/ dataset)
+    geoms = ((416, 100),) if ch == 4 else ((128, 32), (416, 100))
+    for ts, ov in geoms:
+        ck = f"{root}/run{ts}{suffix}"
         if not os.path.exists(f"{ck}/best.ckpt"):
-            print(f"=== training tile {ts} ===", flush=True)
-            cli_main([
+            print(f"=== training tile {ts} ({ch}ch) ===", flush=True)
+            argv_train = [
                 "train", "--data-root", root, "--tile-size", str(ts),
                 "--overlap", str(ov), "--epochs", str(args.epochs),
                 "--batch-size", "16", "--scale", args.scale,
-                "--ckpt-dir", ck,
-            ])
+                "--channels", str(ch), "--ckpt-dir", ck,
+            ]
+            # a completed build leaves the list file; re-running the
+            # builder on a populated crop dir would re-augment the
+            # already-augmented tiles (compounding _aug_ files)
+            if os.path.exists(f"{root}/train_cropped{ts}.txt"):
+                argv_train.append("--skip-cropping")
+            cli_main(argv_train)
 
-    print("=== dual-scale detection + metrics ===", flush=True)
-    cli_main([
-        "detect", "--input", f"{root}/Input",
-        "--output", f"{root}/Output",
-        "--ckpt128", f"{root}/run128/best.ckpt",
-        "--ckpt416", f"{root}/run416/best.ckpt",
-        "--scale", args.scale, "--metrics",
-    ])
+    print(f"=== detection + metrics ({ch}ch) ===", flush=True)
+    if ch == 4:
+        cli_main([
+            "detect", "--input", f"{root}/Input",
+            "--output", f"{root}/Output4ch",
+            "--scales", f"416:100={root}/run416_4ch/best.ckpt",
+            "--channels", "4",
+            "--scale", args.scale, "--metrics", "--batch",
+        ])
+    else:
+        cli_main([
+            "detect", "--input", f"{root}/Input",
+            "--output", f"{root}/Output",
+            "--ckpt128", f"{root}/run128/best.ckpt",
+            "--ckpt416", f"{root}/run416/best.ckpt",
+            "--scale", args.scale, "--metrics", "--batch",
+        ])
 
 
 if __name__ == "__main__":
