@@ -122,6 +122,17 @@ class TiledDetector:
         self._fns = {}
 
     # ------------------------------------------------------------------
+    def _packed_rows(self, n_tiles_padded: int) -> int:
+        """Rows of the packed [K, 13] per-scale result. In metrics mode
+        every slot is packed (mAP sweeps depend on the low-conf tail,
+        conf 0.001 — no device-side compaction drop); predict mode
+        compacts to a conf top-k."""
+        Nd = self.max_det
+        if self.cfg.calculate_metrics:
+            return n_tiles_padded * Nd
+        return min(max(self.cfg.max_det_per_map, n_tiles_padded * 4),
+                   n_tiles_padded * Nd)
+
     def _scale_body(self, tile_size: int):
         """The traced per-scale compute body (unjitted):
         (params, tiles_u8, tiles_xywh, tile_valid, conf_thr) -> packed
@@ -178,12 +189,7 @@ class TiledDetector:
                 valid.reshape(-1, 1).astype(jnp.float32),
                 tile_id.reshape(-1, 1),
             ], axis=1)                                    # [T*Nd, 13]
-            if cfg.calculate_metrics:
-                # mAP sweeps depend on the low-conf tail (conf 0.001):
-                # never compact-drop in metrics mode — pack every slot.
-                k = T_b * Nd
-            else:
-                k = min(max(self.cfg.max_det_per_map, T_b * 4), T_b * Nd)
+            k = self._packed_rows(T_b)
             key = jnp.where(valid.reshape(-1), dets["conf"].reshape(-1),
                             -1.0)
             _, top = jax.lax.top_k(key, k)
@@ -226,25 +232,25 @@ class TiledDetector:
         self._fns[key] = run
         return run
 
-    # ------------------------------------------------------------------
-    def _dispatch_scale(self, image_bgr: np.ndarray, scale: ScaleConfig):
-        """Launch the jitted per-scale program asynchronously; returns the
-        device array ([K, 13] packed dets) for later collection."""
-        packed, _ = self._dispatch_scale_multi([image_bgr], scale)
-        return packed
+    # NOTE: an experiment merging EVERY scale into one jitted program
+    # (single dispatch + fetch) REGRESSED golden throughput ~2x (fetch
+    # 367 ms vs 191 ms): XLA executes the merged graph strictly
+    # sequentially and its layout/scheduling choices worsen across the
+    # concatenated scale bodies. Per-scale programs with one joined
+    # device-side concat + single D2H fetch are the fast configuration.
 
-    def _dispatch_scale_multi(self, images_bgr: list, scale: ScaleConfig):
-        """One device program covering the tile batches of SEVERAL images
-        at this scale (concatenated with per-image bucket segments).
-        Returns (packed dets [K, 13], segments [(start, tcount, tb)])."""
+    # ------------------------------------------------------------------
+    def _grids(self, shapes, scale: ScaleConfig):
+        """Host-side tile grids for one scale over an image-shape list:
+        (grids [sum tb, 4] int32, valid [sum tb] bool,
+        segments [(start, tcount, tb)])."""
         ts = scale.tile_size
         n_shards = (self.mesh.shape.get("data", 1)
                     if self.mesh is not None else 1)
-
         grid_parts, valid_parts, segments = [], [], []
         offset = 0
-        for img in images_bgr:
-            h, w = img.shape[:2]
+        for shape in shapes:
+            h, w = shape[:2]
             grid = T.inference_tile_grid(h, w, ts, scale.overlap)
             tcount = len(grid)
             tb = max(_bucket(tcount), n_shards)
@@ -256,11 +262,29 @@ class TiledDetector:
             valid_parts.append(tile_valid)
             segments.append((offset, tcount, tb))
             offset += tb
+        return (np.concatenate(grid_parts), np.concatenate(valid_parts),
+                segments)
 
-        grid_j = jnp.asarray(np.concatenate(grid_parts))
-        valid_j = jnp.asarray(np.concatenate(valid_parts))
-        conf_thr = (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
-                    else self.cfg.conf_thr_predict)
+    def _conf_thr(self) -> float:
+        return (self.cfg.conf_thr_metrics if self.cfg.calculate_metrics
+                else self.cfg.conf_thr_predict)
+
+    def _dispatch_scale(self, image_bgr: np.ndarray, scale: ScaleConfig):
+        """Launch the jitted per-scale program asynchronously; returns the
+        device array ([K, 13] packed dets) for later collection."""
+        packed, _ = self._dispatch_scale_multi([image_bgr], scale)
+        return packed
+
+    def _dispatch_scale_multi(self, images_bgr: list, scale: ScaleConfig):
+        """One device program covering the tile batches of SEVERAL images
+        at this scale (concatenated with per-image bucket segments).
+        Returns (packed dets [K, 13], segments [(start, tcount, tb)])."""
+        ts = scale.tile_size
+        grids, valid, segments = self._grids(
+            tuple(img.shape for img in images_bgr), scale)
+        grid_j = jnp.asarray(grids)
+        valid_j = jnp.asarray(valid)
+        conf_thr = self._conf_thr()
 
         if self.mesh is None:
             # jnp.asarray on an already-device array is a no-op, so
@@ -281,8 +305,8 @@ class TiledDetector:
 
         tile_parts = [
             T.extract_tiles(jnp.asarray(img),
-                            jnp.asarray(grid_parts[i][:, :2]), ts)
-            for i, img in enumerate(images_bgr)
+                            jnp.asarray(grids[o:o + tb, :2]), ts)
+            for img, (o, tcount, tb) in zip(images_bgr, segments)
         ]
         tiles = (tile_parts[0] if len(tile_parts) == 1
                  else jnp.concatenate(tile_parts))
@@ -340,9 +364,11 @@ class TiledDetector:
     # ------------------------------------------------------------------
     def detect_images(self, images_bgr: list):
         """Batched multi-image detection: ONE device program per scale
-        covers every image's tile batch (concatenated segments), so the
-        whole set costs len(scales) dispatches + fetches total. Returns a
-        list of per-image result dicts (same shape as `detect_image`)."""
+        covers every image's tile batch (in-graph extraction over the
+        shared device-resident images), and ALL scales' packed results
+        are pulled in ONE D2H fetch (each fetch costs ~35-70 ms of tunnel
+        RPC latency). Returns a list of per-image result dicts (same
+        shape as `detect_image`)."""
         with prof.timed("detect/h2d"):
             # one H2D per image, shared by every scale's extraction
             images_dev = [jnp.asarray(im) for im in images_bgr]
@@ -351,22 +377,29 @@ class TiledDetector:
                 sc.tile_size: self._dispatch_scale_multi(images_dev, sc)
                 for sc in self.cfg.scales
             }
-        per_image: list[dict] = [dict() for _ in images_bgr]
-        # ONE D2H fetch for every scale: each fetch costs ~35-70 ms of
-        # RPC latency through the TPU tunnel regardless of size, so the
-        # per-scale packed results are concatenated on device (cheap) and
-        # pulled in a single transfer, then split by known row counts.
-        order = list(pending.items())
+        order = [(ts, packed, segments)
+                 for ts, (packed, segments) in pending.items()]
         with prof.timed("detect/fetch"):
             if len(order) > 1:
-                joined = jnp.concatenate([p for _, (p, _) in order])
+                joined = jnp.concatenate([p for _, p, _ in order])
                 flat_all = np.asarray(joined, np.float64)
             else:
-                flat_all = np.asarray(order[0][1][0], np.float64)
+                flat_all = np.asarray(order[0][1], np.float64)
+        return self._split_and_finalize(flat_all, order, len(images_bgr))
+
+    def _split_and_finalize(self, flat_all, order, n_images: int):
+        """Split a fetched packed array into per-scale/per-image det sets,
+        run the host merges and the consensus fusion. `order` entries are
+        (ts, packed_rows_or_device_array, segments); when `flat_all` is
+        given, entries' arrays are row counts into it (mesh path)."""
+        per_image: list[dict] = [dict() for _ in range(n_images)]
         offset_rows = 0
-        for ts, (packed, segments) in order:
-            flat = flat_all[offset_rows:offset_rows + packed.shape[0]]
-            offset_rows += packed.shape[0]
+        for ts, packed, segments in order:
+            if flat_all is not None:
+                flat = flat_all[offset_rows:offset_rows + packed.shape[0]]
+                offset_rows += packed.shape[0]
+            else:
+                flat = packed
             self._check_cap(flat)
             flat = flat[flat[:, 11] > 0.5]
             with prof.timed(f"detect/merge_{ts}"):
@@ -397,29 +430,7 @@ class TiledDetector:
         consensus+merged dets (`merged_for_pr`) and, under
         calculate_metrics, the wide pre-consensus union (`merged_for_map`)
         — mirroring `process_image` (`Detect_OBB.py:268-345`)."""
-        # dispatch all scales before collecting any (the per-scale device
-        # programs overlap), transfer the image once, and pull ALL scales'
-        # packed results in ONE D2H fetch (each fetch costs ~35-70 ms of
-        # tunnel RPC latency)
-        img_dev = jnp.asarray(image_bgr)
-        pending = [
-            (sc.tile_size, self._dispatch_scale(img_dev, sc))
-            for sc in self.cfg.scales
-        ]
-        if len(pending) > 1:
-            joined = jnp.concatenate([p for _, p in pending])
-            flat_all = np.asarray(joined, np.float64)
-        else:
-            flat_all = np.asarray(pending[0][1], np.float64)
-        dets_by_scale = {}
-        off = 0
-        for ts, packed in pending:
-            flat = flat_all[off:off + packed.shape[0]]
-            off += packed.shape[0]
-            self._check_cap(flat)
-            dets_by_scale[ts] = self._merge_collected(
-                flat[flat[:, 11] > 0.5], self.cfg.merge_iou)
-        return self._finalize(dets_by_scale)
+        return self.detect_images([image_bgr])[0]
 
 
 # ---------------------------------------------------------------------------
