@@ -1,9 +1,22 @@
 """Device-time profile of the fused per-scale inference programs.
 
-Times each scale's jitted program in isolation (block_until_ready, no
-fetch payload cost) and derives achieved FLOP/s from XLA's cost analysis
-— the VERDICT r02 item: either >50 TFLOP/s conv efficiency at golden
-geometry or a documented reason it is launch-latency/memory-bound.
+Measures TRUE device compute per scale and derives achieved FLOP/s and
+HBM bandwidth from XLA's cost analysis.
+
+Measurement method: through this box's TPU tunnel, `block_until_ready`
+returns when the dispatch is ACKNOWLEDGED, not when the program finishes
+(naive timing reports >peak FLOP/s). Only a D2H fetch forces completion,
+and programs execute serially on the device stream — so the compute time
+of program P is (time of [dispatch P; fetch tiny marker]) minus (time of
+[fetch tiny marker] alone).
+
+r02 findings (golden geometry, yolo11x-obb dual-scale, 236 tiles):
+marker RPC ~30 ms; device compute ~24 ms @128 / ~36 ms @416 (~53 ms
+both); cost analysis: 9.4 GB / 18.8 GB accessed per program => ~48% HBM
+bandwidth utilization (memory-bound; the MXU-only floor would be ~5 ms).
+End-to-end wall ~230 ms => ~175 ms is tunnel RPC overhead, not device
+work. The big-map metric amortizes it; the golden metric is
+latency-bound by construction.
 
 Usage: python tools/profile/device_forward.py
 """
@@ -24,9 +37,9 @@ def main():
 
     enable_compilation_cache()
 
+    from bench import _build_detector
     from oriented_object_detection_tpu.config import (DetectConfig,
                                                       ScaleConfig)
-    from bench import _build_detector
 
     cfg = DetectConfig(
         scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)), channels=3)
@@ -38,35 +51,49 @@ def main():
         rng.randint(0, 255, (1028, 1056, 3)).astype(np.uint8),
     ]
     images_dev = [jnp.asarray(im) for im in images]
-    jax.block_until_ready(images_dev)
+
+    tick = jax.jit(lambda x: x + 1.0)
+    np.asarray(tick(jnp.float32(0.0)))       # compile the marker
+
+    # warm every program (a real fetch forces compile + first run)
+    seg_by_scale = {}
+    for sc in cfg.scales:
+        p, segs = det._dispatch_scale_multi(images_dev, sc)
+        np.asarray(p)
+        seg_by_scale[sc.tile_size] = segs
+
+    n = 10
+    for _ in range(3):
+        np.asarray(tick(jnp.float32(0.0)))
+    t0 = time.time()
+    for i in range(n):
+        np.asarray(tick(jnp.float32(i)))
+    base = (time.time() - t0) / n
+    print(f"marker fetch alone: {base * 1000:.1f} ms")
 
     for sc in cfg.scales:
-        packed, segments = det._dispatch_scale_multi(images_dev, sc)
-        jax.block_until_ready(packed)  # compile + warm
-        reps = 10
         t0 = time.time()
-        for _ in range(reps):
-            packed, _ = det._dispatch_scale_multi(images_dev, sc)
-            jax.block_until_ready(packed)
-        dt = (time.time() - t0) / reps
+        for i in range(n):
+            det._dispatch_scale_multi(images_dev, sc)
+            np.asarray(tick(jnp.float32(i)))  # waits for the program too
+        dt = (time.time() - t0) / n
+        compute = dt - base
 
-        # FLOP count from XLA cost analysis of the compiled program
         ts = sc.tile_size
-        run = None
-        for k, v in det._fns.items():
-            if k[0] == "fused" and k[1] == ts:
-                run = v
-        grids = jnp.zeros((sum(s[2] for s in segments), 4), jnp.int32)
-        valid = jnp.zeros((sum(s[2] for s in segments),), bool)
-        lowered = run.lower(det.params[ts], tuple(images_dev), grids,
-                            valid, jnp.float32(0.25))
-        cost = lowered.compile().cost_analysis()
+        run = det._fns[("fused", ts,
+                        tuple(im.shape for im in images_dev),
+                        tuple(seg_by_scale[ts]))]
+        tb_total = sum(s[2] for s in seg_by_scale[ts])
+        grids = jnp.zeros((tb_total, 4), jnp.int32)
+        valid = jnp.ones((tb_total,), bool)
+        cost = run.lower(det.params[ts], tuple(images_dev), grids, valid,
+                         jnp.float32(0.25)).compile().cost_analysis()
         flops = float(cost.get("flops", 0.0))
-        print(f"scale {ts}: {dt*1000:.1f} ms/rep, "
-              f"{flops/1e12:.2f} TFLOP/program, "
-              f"{flops/dt/1e12:.1f} TFLOP/s achieved, "
-              f"bytes accessed {float(cost.get('bytes accessed', 0))/1e9:.2f} GB "
-              f"({float(cost.get('bytes accessed', 0))/dt/1e9:.0f} GB/s)")
+        gb = float(cost.get("bytes accessed", 0.0)) / 1e9
+        print(f"scale {ts}: compute ~{compute * 1000:.1f} ms | "
+              f"{flops / 1e12:.2f} TF (cost, MACx2) -> "
+              f"{flops / compute / 1e12:.0f} TFLOP/s | "
+              f"{gb:.1f} GB -> {gb / compute:.0f} GB/s")
 
 
 if __name__ == "__main__":
