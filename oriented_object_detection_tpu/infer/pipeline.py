@@ -107,6 +107,7 @@ class TiledDetector:
         self.max_det = max_det or cfg.max_det_per_tile
         self.pre_topk = pre_topk or cfg.pre_topk
         self.mesh = mesh
+        self._packed: dict = {k: None for k in params_by_scale}
         if mesh is not None:
             from ..parallel import mesh as PM
 
@@ -114,6 +115,24 @@ class TiledDetector:
                 k: PM.replicate(v, mesh)
                 for k, v in params_by_scale.items()
             }
+        else:
+            # checkpoint params arrive as numpy; passing host arrays to
+            # the jitted programs re-uploads every leaf on EVERY dispatch
+            # (measured 1.9 s/rep vs 0.26 s device-resident), and even a
+            # one-time per-leaf device_put is hundreds of synchronous
+            # tunnel RPCs. Pack host trees into ONE flat buffer per dtype
+            # and unpack in-graph (utils.runtime.pack_tree). Trees whose
+            # leaves are already device arrays (fresh init) pass through.
+            from ..utils.runtime import pack_tree
+
+            self._packed = {}
+            for k, v in self.params.items():
+                leaves = jax.tree.leaves(v)
+                if leaves and all(isinstance(l, np.ndarray)
+                                  for l in leaves):
+                    self._packed[k] = pack_tree(v)
+                else:
+                    self._packed[k] = None
         self.models = {
             sc.tile_size: YOLO11OBB(
                 nc=cfg.nc, scale=sc.model_scale, in_channels=cfg.channels)
@@ -214,14 +233,24 @@ class TiledDetector:
         tile batch in-graph — one dispatch per scale with no intermediate
         eager gather programs or extra HBM round trip. Compiled per
         (scale, image-shape-set); the persistent compilation cache makes
-        repeats cheap."""
-        key = ("fused", tile_size, shapes, segments)
+        repeats cheap.
+
+        When the scale's params are packed flat buffers (checkpoint
+        loads), the param tree is rebuilt in-graph (`unpack_tree`) — the
+        slices fuse into their first use."""
+        packed = self._packed.get(tile_size)
+        key = ("fused", tile_size, shapes, segments, packed is not None)
         if key in self._fns:
             return self._fns[key]
         body = self._scale_body(tile_size)
+        spec = packed[1] if packed is not None else None
 
         @jax.jit
         def run(params, images, grids, valid, conf_thr):
+            if spec is not None:
+                from ..utils.runtime import unpack_tree
+
+                params = unpack_tree(params, spec)
             parts = [
                 T.extract_tiles(images[i], grids[o:o + tb, :2], tile_size)
                 for i, (o, tcount, tb) in enumerate(segments)
@@ -231,6 +260,13 @@ class TiledDetector:
 
         self._fns[key] = run
         return run
+
+    def _params_arg(self, tile_size: int):
+        """What the fused program receives as `params`: the packed flat
+        buffers when the scale came from a checkpoint, else the device
+        param tree."""
+        packed = self._packed.get(tile_size)
+        return packed[0] if packed is not None else self.params[tile_size]
 
     # NOTE: an experiment merging EVERY scale into one jitted program
     # (single dispatch + fetch) REGRESSED golden throughput ~2x (fetch
@@ -295,7 +331,7 @@ class TiledDetector:
             images_dev = tuple(jnp.asarray(img) for img in images_bgr)
             run = self._tile_fn_fused(
                 ts, tuple(im.shape for im in images_dev), tuple(segments))
-            packed = run(self.params[ts], images_dev, grid_j, valid_j,
+            packed = run(self._params_arg(ts), images_dev, grid_j, valid_j,
                          jnp.float32(conf_thr))
             return packed, segments
 

@@ -97,3 +97,30 @@ class TestMultiImage:
             np.testing.assert_allclose(
                 res["merged_for_pr"], single["merged_for_pr"],
                 rtol=1e-6, atol=1e-6)
+
+
+class TestPackedParams:
+    def test_numpy_params_match_device_params(self):
+        """Checkpoint-style numpy param trees go through the packed
+        single-buffer transfer + in-graph unpack; results must equal the
+        device-tree path bit-for-bit."""
+        import dataclasses
+
+        cfg = DetectConfig(scales=(ScaleConfig(64, 16, model_scale="n"),),
+                           channels=3)
+        m = YOLO11OBB(nc=cfg.nc, scale="n", in_channels=3)
+        x = np.zeros((1, 64, 64, 3), np.float32)
+        v_dev = m.init(jax.random.PRNGKey(7), x)
+        v_np = jax.tree.map(lambda a: np.asarray(a), v_dev)
+
+        det_dev = P.TiledDetector(cfg, {64: v_dev}, max_det=16,
+                                  pre_topk=32)
+        det_np = P.TiledDetector(cfg, {64: v_np}, max_det=16, pre_topk=32)
+        assert det_np._packed[64] is not None       # packed path taken
+        assert det_dev._packed[64] is None
+
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+        a = det_dev.detect_image(img)["merged_for_pr"]
+        b = det_np.detect_image(img)["merged_for_pr"]
+        np.testing.assert_array_equal(a, b)
