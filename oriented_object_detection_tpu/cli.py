@@ -226,6 +226,66 @@ def _train(args):
            ckpt_dir=ckpt_dir, mesh=mesh, resume=args.resume)
 
 
+def _convert(args):
+    """Ultralytics .pt (or an .npz dump of its state dict) -> our ckpt.
+
+    Completes the migration path for the reference's published fine-tuned
+    weights (`/root/reference/README.md:183-188`, Google Drive): download
+    best128/best416(.pt), convert, and detect with full parity harness
+    support (tools/parity.py)."""
+    import pickle
+
+    import numpy as np
+
+    from .models import YOLO11OBB
+    from .models.weights import convert_state_dict, validate_against
+
+    if args.pt.endswith(".npz"):
+        sd = {k: np.asarray(v) for k, v in np.load(args.pt).items()}
+    else:
+        import torch
+
+        ck = torch.load(args.pt, map_location="cpu", weights_only=False)
+        model = ck.get("model", ck) if isinstance(ck, dict) else ck
+        state = model.state_dict() if hasattr(model, "state_dict") \
+            else model
+        sd = {k: np.asarray(v.float().numpy() if hasattr(v, "numpy")
+                            else v) for k, v in state.items()}
+
+    variables = convert_state_dict(
+        sd, reverse_stem_channels=args.channels == 4)
+
+    # validate coverage against a freshly-built model of the target shape
+    import jax
+    import jax.numpy as jnp
+
+    m = YOLO11OBB(nc=args.nc, scale=args.scale, in_channels=args.channels)
+    ref = m.init(jax.random.PRNGKey(0),
+                 jnp.zeros((1, args.imgsz, args.imgsz, args.channels)))
+    rep = validate_against(variables, ref)
+    print(f"[Convert] matched {rep['matched']} arrays; "
+          f"missing={len(rep['missing'])} extra={len(rep['extra'])} "
+          f"mismatched={len(rep['mismatched'])}")
+    if (rep["missing"] or rep["mismatched"]) and not args.force:
+        for k in (rep["missing"] + rep["mismatched"])[:8]:
+            print(f"  problem: {k}")
+        raise SystemExit("conversion incomplete (use --force to write "
+                         "anyway)")
+
+    payload = {
+        "step": 0,
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+        "ema_params": variables["params"],
+        "extra": {"model_scale": args.scale, "channels": args.channels,
+                  "tile_size": args.imgsz, "source": args.pt},
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "wb") as f:
+        pickle.dump(payload, f)
+    print(f"[Convert] wrote {args.out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="oodt")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -263,6 +323,18 @@ def main(argv=None):
                    help="resume from <ckpt-dir>/last.ckpt")
     t.add_argument("--ckpt-dir")
     t.set_defaults(fn=_train)
+
+    c = sub.add_parser("convert",
+                       help="ultralytics .pt/.npz -> framework ckpt")
+    c.add_argument("pt", help=".pt checkpoint or .npz state-dict dump")
+    c.add_argument("--out", required=True, help="output .ckpt path")
+    c.add_argument("--scale", default="x")
+    c.add_argument("--channels", type=int, default=3, choices=(3, 4))
+    c.add_argument("--nc", type=int, default=12)
+    c.add_argument("--imgsz", type=int, default=416)
+    c.add_argument("--force", action="store_true",
+                   help="write even if some model arrays are missing")
+    c.set_defaults(fn=_convert)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -70,3 +70,33 @@ def test_detect_batch_mode(data_root, tmp_path, monkeypatch):
     outs = os.listdir(out_dir)
     assert sum(f.endswith("_detected.jpg") for f in outs) == 2
     assert sum(f.endswith(".xlsx") for f in outs) == 2
+
+
+class TestConvert:
+    def test_npz_roundtrip(self, tmp_path):
+        """export_state_dict -> npz -> convert CLI -> ckpt: converted
+        variables must reproduce the source model's forward exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from oriented_object_detection_tpu.cli import main
+        from oriented_object_detection_tpu.models import YOLO11OBB
+        from oriented_object_detection_tpu.models.weights import (
+            export_state_dict)
+        from oriented_object_detection_tpu.train.trainer import (
+            variables_from_checkpoint)
+
+        m = YOLO11OBB(nc=12, scale="n", in_channels=3)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        sd = export_state_dict(v)
+        npz = str(tmp_path / "sd.npz")
+        np.savez(npz, **{k: np.asarray(x) for k, x in sd.items()})
+        out = str(tmp_path / "conv.ckpt")
+        main(["convert", npz, "--out", out, "--scale", "n",
+              "--imgsz", "64"])
+        v2 = variables_from_checkpoint(out)
+        o1 = m.apply(v, jnp.ones((1, 64, 64, 3)))
+        o2 = m.apply(v2, jnp.ones((1, 64, 64, 3)))
+        for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
