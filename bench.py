@@ -137,10 +137,15 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
 
 
 def _time_reps(fn, reps):
-    t0 = time.time()
+    """Median rep time: wall times through the TPU tunnel carry
+    occasional multi-hundred-ms RPC hiccups that a mean absorbs into the
+    headline (observed 611-1146 tiles/sec spread on the large map)."""
+    times = []
     for _ in range(reps):
+        t0 = time.time()
         fn()
-    return (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    return float(np.median(times))
 
 
 def main():
@@ -179,7 +184,7 @@ def main():
     big = rng.randint(0, 255, (4096, 4096, 3)).astype(np.uint8)
     big_tiles = 42 * 42 + 13 * 13
     det.detect_images([big])             # warmup/compile
-    big_dt = _time_reps(lambda: det.detect_images([big]), 3)
+    big_dt = _time_reps(lambda: det.detect_images([big]), 5)
     big_tps = big_tiles / big_dt
 
     # ---- trained checkpoints (realistic detection density) -------------

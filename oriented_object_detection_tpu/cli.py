@@ -71,7 +71,13 @@ def _detect(args):
         raise SystemExit("provide --ckpt128 and/or --ckpt416")
 
     cfg = DetectConfig(scales=tuple(scales), channels=args.channels,
-                       calculate_metrics=args.metrics)
+                       calculate_metrics=args.metrics,
+                       merge_iou=args.merge_iou,
+                       metrics_iou=args.metrics_iou,
+                       map_min_score=args.map_min_score,
+                       apply_border_filter=not args.no_border_filter,
+                       margin_128=args.margin_128,
+                       margin_416=args.margin_416)
     det = TiledDetector(cfg, params)
 
     os.makedirs(args.output, exist_ok=True)
@@ -304,6 +310,15 @@ def main(argv=None):
     d.add_argument("--metrics", action="store_true")
     d.add_argument("--batch", action="store_true",
                    help="batch all input images per scale (fastest)")
+    # the remaining Detect_OBB.py constants (`:33-40`)
+    d.add_argument("--merge-iou", type=float, default=0.4,
+                   help="merge NMS IoU (reference iou_threshold)")
+    d.add_argument("--metrics-iou", type=float, default=0.25,
+                   help="metrics IoU/conf threshold (reference iou_thr)")
+    d.add_argument("--map-min-score", type=float, default=0.001)
+    d.add_argument("--no-border-filter", action="store_true")
+    d.add_argument("--margin-128", type=int, default=10)
+    d.add_argument("--margin-416", type=int, default=20)
     d.set_defaults(fn=_detect)
 
     t = sub.add_parser("train", help="dataset build + training")
