@@ -67,3 +67,46 @@ class TestEvalGuard:
         out = run_fusion_eval({}, str(tmp_path), str(tmp_path))
         assert out == {}
         assert "No images found" in capsys.readouterr().out
+
+
+class TestPackTree:
+    """utils/runtime.pack_tree / unpack_tree: single-buffer param
+    transfer with in-graph rebuild."""
+
+    def test_roundtrip_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from oriented_object_detection_tpu.utils import runtime as R
+
+        rng = np.random.RandomState(0)
+        tree = {
+            "a": {"w": rng.randn(4, 3).astype(np.float32),
+                  "b": rng.randn(7).astype(np.float32)},
+            "c": [rng.randn(2, 2, 2).astype(np.float32),
+                  rng.randint(0, 5, (3,)).astype(np.int32)],
+        }
+        bufs, spec = R.pack_tree(tree)
+        # two dtype groups -> two buffers
+        assert set(bufs) == {np.dtype(np.float32).str,
+                             np.dtype(np.int32).str}
+
+        @jax.jit
+        def consume(b):
+            t = R.unpack_tree(b, spec)
+            return t
+
+        out = consume(bufs)
+        for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_empty_and_scalar_leaves(self):
+        import jax
+
+        from oriented_object_detection_tpu.utils import runtime as R
+
+        tree = {"s": np.float32(3.5), "v": np.zeros((0,), np.float32)}
+        bufs, spec = R.pack_tree(tree)
+        out = R.unpack_tree(bufs, spec)
+        assert float(np.asarray(out["s"])) == 3.5
+        assert np.asarray(out["v"]).shape == (0,)
