@@ -159,10 +159,16 @@ def main():
     from oriented_object_detection_tpu.utils import profiling as prof
 
     rng = np.random.RandomState(0)
-    # golden image geometries (Input/Test1.png, Input/Test2.png)
+    # golden image geometries (Input/Test1.png, Input/Test2.png) with
+    # GeoMap-like synthetic content: content does not change the
+    # fixed-shape device programs' time, but trained checkpoints produce
+    # realistic detections on it (pure noise yields none at scale 416)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.train_synthetic import gen_map
+
     images = [
-        rng.randint(0, 255, (807, 895, 3)).astype(np.uint8),
-        rng.randint(0, 255, (1028, 1056, 3)).astype(np.uint8),
+        gen_map(rng, H=807, W=895, n_obj=40)[0],
+        gen_map(rng, H=1028, W=1056, n_obj=40)[0],
     ]
     n_tiles = 90 + 9 + 121 + 16
 
