@@ -20,7 +20,6 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax import struct
 from flax.core import FrozenDict
 
@@ -34,8 +33,40 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     batch_stats: Any
-    opt_state: Any
+    opt_state: Any        # SGD momentum buffers (pytree like params)
     ema_params: Any
+    # runtime schedule parameters [total_steps, warm_steps, lr0, lrf,
+    # warmup_momentum, momentum, warmup_bias_lr] — carried in the state
+    # (NOT baked into the program) so changing epochs/steps/lr never
+    # recompiles the train step; remote compiles cost up to ~30 min here
+    sched: jnp.ndarray
+
+
+def make_sched_vector(cfg: TrainConfig, steps_per_epoch: int) -> jnp.ndarray:
+    total = float(cfg.epochs * steps_per_epoch)
+    warm = float(max(1, int(cfg.warmup_epochs * steps_per_epoch)))
+    return jnp.asarray([total, warm, cfg.lr0, cfg.lrf,
+                        cfg.warmup_momentum, cfg.momentum,
+                        cfg.warmup_bias_lr], jnp.float32)
+
+
+def schedule_hypers(sched, step):
+    """Engine warmup/decay hyperparameters at `step` (traced or host):
+    lr decays linearly lr0 -> lr0*lrf over total_steps; over the warmup
+    window momentum ramps warmup_momentum->momentum (0.8 -> 0.937) and
+    the bias group's lr ramps warmup_bias_lr->scheduled (0.1 -> lr0)
+    while other groups ramp 0->scheduled (`Train_OBB.py:796-841` via the
+    ultralytics trainer defaults)."""
+    total, warm, lr0, lrf, wmom, mom, wbias = (sched[i] for i in range(7))
+    s = jnp.asarray(step, jnp.float32)
+    frac = jnp.minimum(s, total - 1.0) / total
+    base = lr0 * (1.0 - frac) + (lr0 * lrf) * frac
+    w = jnp.clip(s / warm, 0.0, 1.0)
+    return {
+        "lr": base * w,
+        "lr_bias": wbias * (1.0 - w) + base * w,
+        "momentum": wmom * (1.0 - w) + mom * w,
+    }
 
 
 def decay_mask(params) -> Any:
@@ -44,28 +75,10 @@ def decay_mask(params) -> Any:
     return jax.tree.map(lambda p: p.ndim >= 2, params)
 
 
-def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
-    """Linear decay from lr0 to lr0*lrf over `epochs`, with linear warmup
-    from 0 over warmup_epochs (engine default 3.0). This is the non-bias
-    param-group schedule; see make_optimizer for the bias group."""
-    total = cfg.epochs * steps_per_epoch
-    warm = max(1, int(cfg.warmup_epochs * steps_per_epoch))
-
-    def sched(step):
-        step = jnp.minimum(step, total - 1)
-        frac = step.astype(jnp.float32) / float(total)
-        lr = cfg.lr0 * (1.0 - frac) + (cfg.lr0 * cfg.lrf) * frac
-        wfrac = jnp.clip(step.astype(jnp.float32) / warm, 0.0, 1.0)
-        return lr * wfrac
-
-    return sched
-
-
 def bias_labels(params) -> Any:
     """Label every `bias` leaf (conv biases, BN offsets) "bias" and the
     rest "main" — the engine's g2 param group, which warms up from
-    warmup_bias_lr instead of 0 (ultralytics trainer warmup exercised at
-    Train_OBB.py:796-841)."""
+    warmup_bias_lr instead of 0."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree.structure(params)
     labels = []
@@ -76,48 +89,37 @@ def bias_labels(params) -> Any:
     return jax.tree.unflatten(treedef, labels)
 
 
-def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params):
-    """SGD(nesterov) with the engine's warmup semantics: over the warmup
-    window (warmup_epochs) momentum ramps warmup_momentum->momentum (0.8 ->
-    0.937) and the bias group's lr ramps warmup_bias_lr->scheduled lr
-    (0.1 -> lr0) while all other groups ramp 0->scheduled lr. Weight decay
-    is applied pre-momentum (torch-SGD coupled semantics) on >=2D kernels
-    only."""
-    total = cfg.epochs * steps_per_epoch
-    warm = max(1, int(cfg.warmup_epochs * steps_per_epoch))
-    sched = lr_schedule(cfg, steps_per_epoch)
+def sgd_apply(params, grads, mu, hypers, weight_decay: float,
+              mask, labels):
+    """torch-SGD(nesterov, coupled weight decay) with per-group lr, all
+    hyperparameters traced scalars (identical math to the optax chain
+    add_decayed_weights -> trace(nesterov) -> per-group scale, but with
+    nothing baked into the program). Returns (new_params, new_mu)."""
+    mom = hypers["momentum"]
+    lr_main, lr_bias = hypers["lr"], hypers["lr_bias"]
 
-    def base_lr(step):
-        step = jnp.minimum(step, total - 1)
-        frac = step.astype(jnp.float32) / float(total)
-        return cfg.lr0 * (1.0 - frac) + (cfg.lr0 * cfg.lrf) * frac
+    def one(p, g, m, decayed, label):
+        g = g + weight_decay * p if decayed else g
+        m_new = g + mom * m
+        u = g + mom * m_new            # nesterov
+        lr = lr_bias if label == "bias" else lr_main
+        return p - lr * u, m_new
 
-    def wfrac(step):
-        return jnp.clip(step.astype(jnp.float32) / warm, 0.0, 1.0)
-
-    def lr_bias(step):
-        w = wfrac(step)
-        return cfg.warmup_bias_lr * (1.0 - w) + base_lr(step) * w
-
-    def momentum(step):
-        w = wfrac(step)
-        return cfg.warmup_momentum * (1.0 - w) + cfg.momentum * w
-
-    tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask(params)),
-        optax.inject_hyperparams(optax.trace, static_args=("nesterov",))(
-            decay=momentum, nesterov=True),
-        optax.multi_transform(
-            {"main": optax.scale_by_schedule(lambda s: -sched(s)),
-             "bias": optax.scale_by_schedule(lambda s: -lr_bias(s))},
-            param_labels=bias_labels(params)),
-    )
-    return tx, sched
+    out = jax.tree.map(one, params, grads, mu, mask, labels)
+    new_params = jax.tree.map(lambda t: t[0], out,
+                              is_leaf=lambda t: isinstance(t, tuple))
+    new_mu = jax.tree.map(lambda t: t[1], out,
+                          is_leaf=lambda t: isinstance(t, tuple))
+    return new_params, new_mu
 
 
 def create_train_state(cfg: TrainConfig, rng: jax.Array,
                        steps_per_epoch: int = 100,
                        model: Optional[YOLO11OBB] = None):
+    """Returns (model, state, None). (Third slot kept for caller
+    compatibility; the optimizer is the hand-rolled SGD inside the train
+    step — its momentum buffers live in state.opt_state and its schedule
+    in state.sched, so no optax transform object exists anymore.)"""
     model = model or YOLO11OBB(nc=cfg.nc, scale=cfg.model_scale,
                                in_channels=cfg.channels)
     x = jnp.zeros((1, cfg.tile_size, cfg.tile_size, cfg.channels),
@@ -125,17 +127,17 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
     variables = model.init(rng, x, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
-    tx, _ = make_optimizer(cfg, steps_per_epoch, params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=jax.tree.map(jnp.zeros_like, params),
         # real copy: ema aliasing params would donate buffers twice in
         # the donated train step
         ema_params=jax.tree.map(jnp.array, params),
+        sched=make_sched_vector(cfg, steps_per_epoch),
     )
-    return model, state, tx
+    return model, state, None
 
 
 def ema_update(ema, new, step, decay: float, tau: float):
@@ -151,6 +153,12 @@ def make_train_step(model: YOLO11OBB, tx, cfg: TrainConfig,
     batch: images [B,ts,ts,C] float 0..1, gt_labels [B,M], gt_xywhr
     [B,M,5] px, gt_mask [B,M]. Under a mesh, shard the batch leading axis
     over `data`; XLA inserts the gradient all-reduce.
+
+    `tx` is ignored (kept for caller compatibility): the optimizer is
+    SGD(nesterov, coupled wd, per-group warmup lr) computed in-graph from
+    state.sched + state.step, so ONE compiled program serves every
+    epochs/steps/lr configuration — schedule constants baked into the
+    graph cost a fresh ~30-min remote compile per config here.
     """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -168,13 +176,16 @@ def make_train_step(model: YOLO11OBB, tx, cfg: TrainConfig,
     def train_step(state: TrainState, batch):
         (total, (parts, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        hypers = schedule_hypers(state.sched, state.step)
+        new_params, new_mu = sgd_apply(
+            state.params, grads, state.opt_state, hypers,
+            cfg.weight_decay, decay_mask(state.params),
+            bias_labels(state.params))
         new_ema = ema_update(state.ema_params, new_params, state.step + 1,
                              cfg.ema_decay, cfg.ema_tau)
         new_state = state.replace(
             step=state.step + 1, params=new_params, batch_stats=new_bs,
-            opt_state=new_opt, ema_params=new_ema)
+            opt_state=new_mu, ema_params=new_ema)
         metrics = {"loss": total, **parts}
         return new_state, metrics
 
@@ -272,8 +283,10 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
                 sums[k] += float(metrics[k])
             count += 1
         fitness = float(val_fn(state)) if val_fn is not None else 0.0
+        lr_now = float(schedule_hypers(
+            np.asarray(state.sched), int(state.step))["lr"])
         results.append(
-            epoch=epoch, fitness=fitness,
+            epoch=epoch, fitness=fitness, lr=lr_now,
             **{k: (sums[k] / max(count, 1)) for k in sums})
         meta = {"model_scale": cfg.model_scale, "channels": cfg.channels,
                 "tile_size": cfg.tile_size}

@@ -176,3 +176,42 @@ class TestDataParallel:
         x = jnp.zeros((1, 64, 64, 3))
         out = model.apply(v, x)
         assert out["cls"][0].shape[-1] == 12
+
+
+class TestScheduleInState:
+    def test_no_recompile_across_epoch_configs(self):
+        """The schedule lives in state.sched, not in baked constants:
+        one compiled train step must serve different epochs/steps
+        configurations (remote compiles cost ~30 min on the TPU box)."""
+        cfg_a = TrainConfig(tile_size=32, model_scale="n",
+                            compute_dtype="float32", epochs=2)
+        cfg_b = TrainConfig(tile_size=32, model_scale="n",
+                            compute_dtype="float32", epochs=50,
+                            lr0=0.01, warmup_epochs=1.0)
+        model, state_a, _ = TR.create_train_state(
+            cfg_a, jax.random.PRNGKey(0), steps_per_epoch=5)
+        _, state_b, _ = TR.create_train_state(
+            cfg_b, jax.random.PRNGKey(0), steps_per_epoch=200,
+            model=model)
+        step_fn = TR.make_train_step(model, None, cfg_a,
+                                     LossConfig(img_size=32))
+        batch = tiny_batch(np.random.RandomState(0), B=2, size=32)
+        sa, _ = step_fn(state_a, batch)
+        sb, _ = step_fn(state_b, batch)
+        assert step_fn._cache_size() == 1, "train step recompiled"
+        # the two configs genuinely produce different hyperparameters
+        ha = TR.schedule_hypers(np.asarray(sa.sched), 10)
+        hb = TR.schedule_hypers(np.asarray(sb.sched), 10)
+        assert float(ha["lr"]) != float(hb["lr"])
+
+    def test_schedule_hypers_endpoints(self):
+        cfg = TrainConfig(tile_size=32, lr0=0.003, lrf=0.05,
+                          warmup_epochs=3.0, epochs=10)
+        sched = np.asarray(TR.make_sched_vector(cfg, steps_per_epoch=100))
+        h0 = TR.schedule_hypers(sched, 0)
+        assert float(h0["lr"]) == 0.0                 # main group from 0
+        assert abs(float(h0["lr_bias"]) - 0.1) < 1e-6  # bias from 0.1
+        assert abs(float(h0["momentum"]) - 0.8) < 1e-6
+        h_end = TR.schedule_hypers(sched, 999)
+        assert abs(float(h_end["momentum"]) - 0.937) < 1e-6
+        assert abs(float(h_end["lr"]) - 0.003 * 0.05) < 1e-5
