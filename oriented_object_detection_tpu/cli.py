@@ -69,6 +69,11 @@ def _detect(args):
                 jnp.zeros((1, ts, ts, args.channels)))
     if not scales:
         raise SystemExit("provide --ckpt128 and/or --ckpt416")
+    sizes = [sc.tile_size for sc in scales]
+    if len(set(sizes)) != len(sizes):
+        # params/models/dispatches are keyed by tile size; duplicates
+        # would silently collapse to the last entry
+        raise SystemExit(f"duplicate tile sizes in --scales: {sizes}")
 
     cfg = DetectConfig(scales=tuple(scales), channels=args.channels,
                        calculate_metrics=args.metrics,
@@ -121,7 +126,8 @@ def _detect(args):
             run_fusion_eval(store.get("pr", {}), args.input, args.output,
                             iou_thr=cfg.metrics_iou,
                             dets_map=store.get("map"),
-                            single_scale=len(scales) == 1)
+                            single_scale=len(scales) == 1,
+                            map_min_score=cfg.map_min_score)
         except Exception as e:  # same guard as the reference main
             print(f"[Eval] Skipped due to error: {e}")
 

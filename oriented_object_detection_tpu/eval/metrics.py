@@ -298,7 +298,8 @@ def classwise_report(dets_per_image: dict, all_images: Iterable[str],
 def run_fusion_eval(dets_pr: dict, input_dir: str, output_dir: str,
                     iou_thr: float = 0.25, dets_map: dict | None = None,
                     cache: GTCache | None = None,
-                    single_scale: bool = False) -> dict:
+                    single_scale: bool = False,
+                    map_min_score: float = 0.001) -> dict:
     """Full evaluation block (`Detect_OBB.py:688-740`): P/R/F1 at
     conf=iou_thr (reference quirk: the conf threshold is set to the IoU
     threshold value, `:700-702`), class-wise xlsx, center-hit, mAP@0.5 /
@@ -328,13 +329,15 @@ def run_fusion_eval(dets_pr: dict, input_dir: str, output_dir: str,
     # the wide (pre-consensus) det set feeds mAP when present (`:583`)
     map_source = dets_map if dets_map is not None else dets_pr
     maps = evaluate_map(map_source, all_images,
-                        list(np.arange(0.5, 0.96, 0.05)), cache)
+                        list(np.arange(0.5, 0.96, 0.05)), cache,
+                        map_min_score=map_min_score)
     print("[mAP Results]")
     print(f"mAP@0.5 = {maps['mAP@0.5']:.4f}")
     print(f"mAP@[0.5:0.95] = {maps['mAP@mean']:.4f}")
 
     soft = evaluate_map(map_source, all_images,
-                        [0.30, 0.40, 0.50, 0.60, 0.70], cache)
+                        [0.30, 0.40, 0.50, 0.60, 0.70], cache,
+                        map_min_score=map_min_score)
     print("[mAP (soft) Results]")
     print(f"mAP@0.3 = {soft['per_iou'][0.3]:.4f}")
     print(f"mAP@[0.3:0.7] = {soft['mAP@mean']:.4f}")

@@ -102,6 +102,11 @@ class TiledDetector:
         """`mesh`: optional jax.sharding.Mesh — the tile batch is sharded
         over its `data` axis (params replicated), scaling inference across
         chips exactly like the training DP path (SURVEY.md §2.4)."""
+        sizes = [sc.tile_size for sc in cfg.scales]
+        if len(set(sizes)) != len(sizes):
+            raise ValueError(
+                f"duplicate tile sizes in scales {sizes}: params, models "
+                "and dispatches are keyed by tile size")
         self.cfg = cfg
         self.params = params_by_scale
         self.max_det = max_det or cfg.max_det_per_tile
@@ -413,29 +418,24 @@ class TiledDetector:
                 sc.tile_size: self._dispatch_scale_multi(images_dev, sc)
                 for sc in self.cfg.scales
             }
-        order = [(ts, packed, segments)
+        order = [(ts, packed.shape[0], segments)
                  for ts, (packed, segments) in pending.items()]
         with prof.timed("detect/fetch"):
-            if len(order) > 1:
-                joined = jnp.concatenate([p for _, p, _ in order])
-                flat_all = np.asarray(joined, np.float64)
-            else:
-                flat_all = np.asarray(order[0][1], np.float64)
+            arrays = [p for _, (p, _) in pending.items()]
+            joined = arrays[0] if len(arrays) == 1 \
+                else jnp.concatenate(arrays)
+            flat_all = np.asarray(joined, np.float64)
         return self._split_and_finalize(flat_all, order, len(images_bgr))
 
     def _split_and_finalize(self, flat_all, order, n_images: int):
-        """Split a fetched packed array into per-scale/per-image det sets,
-        run the host merges and the consensus fusion. `order` entries are
-        (ts, packed_rows_or_device_array, segments); when `flat_all` is
-        given, entries' arrays are row counts into it (mesh path)."""
+        """Split the single fetched packed array into per-scale/per-image
+        det sets, run the host merges and the consensus fusion. `order`
+        entries are (ts, n_rows, segments), consecutive in flat_all."""
         per_image: list[dict] = [dict() for _ in range(n_images)]
         offset_rows = 0
-        for ts, packed, segments in order:
-            if flat_all is not None:
-                flat = flat_all[offset_rows:offset_rows + packed.shape[0]]
-                offset_rows += packed.shape[0]
-            else:
-                flat = packed
+        for ts, n_rows, segments in order:
+            flat = flat_all[offset_rows:offset_rows + n_rows]
+            offset_rows += n_rows
             self._check_cap(flat)
             flat = flat[flat[:, 11] > 0.5]
             with prof.timed(f"detect/merge_{ts}"):

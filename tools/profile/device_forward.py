@@ -82,7 +82,8 @@ def main():
         ts = sc.tile_size
         run = det._fns[("fused", ts,
                         tuple(im.shape for im in images_dev),
-                        tuple(seg_by_scale[ts]))]
+                        tuple(seg_by_scale[ts]),
+                        det._packed.get(ts) is not None)]
         tb_total = sum(s[2] for s in seg_by_scale[ts])
         grids = jnp.zeros((tb_total, 4), jnp.int32)
         valid = jnp.ones((tb_total,), bool)
