@@ -35,18 +35,27 @@ def _edt_pass1_columns(edge: jnp.ndarray) -> jnp.ndarray:
 
     edge: [..., H, W] bool (True = edge/zero pixel). Returns float32
     [..., H, W] vertical distances (capped at _INF where a column has no
-    edge)."""
-    x = jnp.moveaxis(edge, -2, 0)  # [H, ..., W] scan over rows
+    edge).
 
-    def fwd(carry, e):
-        d = jnp.where(e, 0.0, carry + 1.0)
-        return d, d
-
-    init = jnp.full(x.shape[1:], _INF, jnp.float32)
-    _, down = jax.lax.scan(fwd, init, x)
-    _, up = jax.lax.scan(fwd, init, x[::-1])
-    d = jnp.minimum(down, up[::-1])
-    return jnp.moveaxis(d, 0, -2)
+    Log-step doubling instead of a length-H lax.scan: with offsets
+    s = 1, 2, 4, ... the update d[i] = min(d[i], d[i-s]+s, d[i+s]+s)
+    is EXACT after ceil(log2 H) rounds (any distance m <= 2^(k+1)-1
+    decomposes greedily into distinct processed offsets), and each round
+    is one full-array vector op — a serial 416-step scan on TPU is
+    latency-bound and dominated the DT-Edge channel's device time."""
+    d = jnp.where(edge, 0.0, _INF).astype(jnp.float32)
+    H = d.shape[-2]
+    pad_shape = list(d.shape)
+    s = 1
+    while s < H:
+        pad_shape[-2] = s
+        inf_pad = jnp.full(pad_shape, _INF, jnp.float32)
+        up = jnp.concatenate([d[..., s:, :], inf_pad], axis=-2) + float(s)
+        down = jnp.concatenate([inf_pad, d[..., :-s, :]], axis=-2) \
+            + float(s)
+        d = jnp.minimum(d, jnp.minimum(up, down))
+        s *= 2
+    return d
 
 
 def _edt_pass2_rows_xla(d0: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
