@@ -124,3 +124,29 @@ class TestPackedParams:
         a = det_dev.detect_image(img)["merged_for_pr"]
         b = det_np.detect_image(img)["merged_for_pr"]
         np.testing.assert_array_equal(a, b)
+
+
+class TestSmallImages:
+    def test_image_smaller_than_tile(self):
+        """An input smaller than the tile size is one partial tile
+        (reference semantics: min(y+ts, H) crop); must not crash and
+        coordinates must stay inside the image."""
+        det = make_detector([(64, 16)])
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 255, (40, 52, 3)).astype(np.uint8)
+        out = det.detect_image(img)
+        dets = out["merged_for_pr"]
+        assert dets.shape[1] == 11
+        if len(dets):
+            assert (dets[:, 0:8:2] <= 64).all()
+            assert (dets[:, 1:8:2] <= 64).all()
+
+    def test_mixed_sizes_batch(self):
+        det = make_detector([(64, 16)])
+        rng = np.random.RandomState(5)
+        imgs = [rng.randint(0, 255, (40, 52, 3)).astype(np.uint8),
+                rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)]
+        res = det.detect_images(imgs)
+        assert len(res) == 2
+        for r in res:
+            assert r["merged_for_pr"].shape[1] == 11
