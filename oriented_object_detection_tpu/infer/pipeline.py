@@ -231,31 +231,41 @@ class TiledDetector:
             self._fns[key] = jax.jit(self._scale_body(tile_size))
         return self._fns[key]
 
-    def _tile_fn_fused(self, tile_size: int, shapes: tuple,
-                       segments: tuple):
+    def _tile_fn_fused(self, tile_size: int, overlap: int, shapes: tuple,
+                       segments: tuple, grids_np: np.ndarray,
+                       valid_np: np.ndarray):
         """Jitted program that FUSES tile extraction with the scale body:
-        takes the raw device images and the padded grid and gathers the
+        takes only the raw device images (+ conf scalar) and gathers the
         tile batch in-graph — one dispatch per scale with no intermediate
-        eager gather programs or extra HBM round trip. Compiled per
-        (scale, image-shape-set); the persistent compilation cache makes
-        repeats cheap.
+        eager gather programs or extra HBM round trip. The tile grid and
+        validity mask are fully determined by (image shapes, ts, overlap),
+        so they are EMBEDDED as program constants: shipping them as
+        arguments cost ~4 small synchronous H2D RPCs (~30 ms each through
+        the tunnel) per detect call. Compiled per (scale, overlap,
+        image-shape-set); the persistent compilation cache makes repeats
+        cheap.
 
         When the scale's params are packed flat buffers (checkpoint
         loads), the param tree is rebuilt in-graph (`unpack_tree`) — the
         slices fuse into their first use."""
         packed = self._packed.get(tile_size)
-        key = ("fused", tile_size, shapes, segments, packed is not None)
+        key = ("fused", tile_size, overlap, shapes, segments,
+               packed is not None)
         if key in self._fns:
             return self._fns[key]
         body = self._scale_body(tile_size)
         spec = packed[1] if packed is not None else None
+        grids_c = np.asarray(grids_np)
+        valid_c = np.asarray(valid_np)
 
         @jax.jit
-        def run(params, images, grids, valid, conf_thr):
+        def run(params, images, conf_thr):
             if spec is not None:
                 from ..utils.runtime import unpack_tree
 
                 params = unpack_tree(params, spec)
+            grids = jnp.asarray(grids_c)     # trace-time constants
+            valid = jnp.asarray(valid_c)
             parts = [
                 T.extract_tiles(images[i], grids[o:o + tb, :2], tile_size)
                 for i, (o, tcount, tb) in enumerate(segments)
@@ -265,6 +275,15 @@ class TiledDetector:
 
         self._fns[key] = run
         return run
+
+    def _conf_scalar(self, value: float):
+        """Cached device scalar: a fresh jnp.float32 per call is one more
+        synchronous H2D RPC through the tunnel."""
+        if not hasattr(self, "_conf_cache"):
+            self._conf_cache = {}
+        if value not in self._conf_cache:
+            self._conf_cache[value] = jnp.float32(value)
+        return self._conf_cache[value]
 
     def _params_arg(self, tile_size: int):
         """What the fused program receives as `params`: the packed flat
@@ -323,21 +342,21 @@ class TiledDetector:
         ts = scale.tile_size
         grids, valid, segments = self._grids(
             tuple(img.shape for img in images_bgr), scale)
-        grid_j = jnp.asarray(grids)
-        valid_j = jnp.asarray(valid)
         conf_thr = self._conf_thr()
 
         if self.mesh is None:
             # jnp.asarray on an already-device array is a no-op, so
             # callers pre-transfer each image ONCE and share it across
             # scales (H2D through the tunnel is expensive; see CLAUDE.md).
-            # Tile extraction runs IN-GRAPH (fused program) — no eager
-            # gather dispatches, no intermediate tile buffer round trip.
+            # Tile extraction runs IN-GRAPH (fused program, grid baked as
+            # constants) — no eager gather dispatches, no per-call grid
+            # transfers, no intermediate tile buffer round trip.
             images_dev = tuple(jnp.asarray(img) for img in images_bgr)
             run = self._tile_fn_fused(
-                ts, tuple(im.shape for im in images_dev), tuple(segments))
-            packed = run(self._params_arg(ts), images_dev, grid_j, valid_j,
-                         jnp.float32(conf_thr))
+                ts, scale.overlap, tuple(im.shape for im in images_dev),
+                tuple(segments), grids, valid)
+            packed = run(self._params_arg(ts), images_dev,
+                         self._conf_scalar(conf_thr))
             return packed, segments
 
         # mesh path: extract first so the tile batch can be device_put
@@ -353,8 +372,8 @@ class TiledDetector:
                  else jnp.concatenate(tile_parts))
         sh = PM.batch_sharding(self.mesh)
         tiles = jax.device_put(tiles, sh)
-        grid_j = jax.device_put(grid_j, sh)
-        valid_j = jax.device_put(valid_j, sh)
+        grid_j = jax.device_put(jnp.asarray(grids), sh)
+        valid_j = jax.device_put(jnp.asarray(valid), sh)
         run = self._tile_fn(ts)
         packed = run(self.params[ts], tiles, grid_j, valid_j,
                      jnp.float32(conf_thr))

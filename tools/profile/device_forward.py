@@ -80,14 +80,11 @@ def main():
         compute = dt - base
 
         ts = sc.tile_size
-        run = det._fns[("fused", ts,
+        run = det._fns[("fused", ts, sc.overlap,
                         tuple(im.shape for im in images_dev),
                         tuple(seg_by_scale[ts]),
                         det._packed.get(ts) is not None)]
-        tb_total = sum(s[2] for s in seg_by_scale[ts])
-        grids = jnp.zeros((tb_total, 4), jnp.int32)
-        valid = jnp.ones((tb_total,), bool)
-        cost = run.lower(det.params[ts], tuple(images_dev), grids, valid,
+        cost = run.lower(det.params[ts], tuple(images_dev),
                          jnp.float32(0.25)).compile().cost_analysis()
         flops = float(cost.get("flops", 0.0))
         gb = float(cost.get("bytes accessed", 0.0)) / 1e9
