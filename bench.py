@@ -1,20 +1,31 @@
 """Benchmark: golden dual-scale tiled-inference throughput on one TPU chip.
 
-Workload: the reference's own headline configuration — dual-scale
-[128/ov30, 416/ov100] tiled detection (`Detect_OBB.py:24-26`) over the two
-golden image geometries (895x807 and 1056x1028 => 90+9+121+16 = 236 tiles),
-with the x-scale YOLOv11-OBB on every tile, in-graph decode + ProbIoU NMS +
-border filter + exact-IoU per-tile merge, host consensus fusion and global
-merge. Content is synthetic (speed is content-independent); weights are the
-trained checkpoint if present, else random init with the cls biases
-CALIBRATED so a reference-like fraction of anchors crosses conf 0.25 —
-without this, a fresh sparse-bias init emits ~zero detections and the
-host NMS/merge/fusion path would be absent from the number (VERDICT r01).
+Headline metric (VERDICT r02 #4): the TRAINED-checkpoint dual-scale
+configuration — the only workload where per-tile merge, cross-scale
+consensus and global fusion all do real work (40/40 objects detected) —
+on the reference's own geometry: dual-scale [128/ov30, 416/ov100] tiled
+detection (`Detect_OBB.py:24-26`) over the two golden image geometries
+(895x807 and 1056x1028 => 90+9+121+16 = 236 tiles). Falls back to the
+random+density configuration when no checkpoints are present. Every
+metric reports p10/median/p90 over >= 7 reps (tunnel RPC hiccups make a
+bare median unverifiable).
 
-Also reports the 4-channel DT-Edge configuration (BASELINE config #3,
-`Detect_OBB.py:98-130`): single-scale 416/ov100 with the in-graph DT-Edge
-channel (multi-scale Scharr -> percentile binarize -> morph open ->
-Pallas exact L2 EDT -> soft blend) on every tile.
+Secondary metrics:
+  * random+density dual-scale x-scale (device-path number comparable
+    across rounds; cls biases CALIBRATED so a reference-like fraction of
+    anchors crosses conf 0.25 — without this a fresh sparse-bias init
+    emits ~zero detections and the host NMS/merge/fusion path would be
+    absent, VERDICT r01)
+  * production-scale 4096x4096 map (1933 tiles)
+  * 4ch DT-Edge config (BASELINE config #3, `Detect_OBB.py:98-130`),
+    single-scale 416/ov100 with the in-graph DT-Edge channel (multi-scale
+    Scharr -> sort-free bit-search percentile binarize -> morph open ->
+    banded Pallas L2 EDT -> soft blend) on every tile. Reported BOTH as
+    golden-2-map latency (RPC-bound: 25 tiles against ~150 ms of fixed
+    tunnel round-trip) and as batched throughput over 16 maps in one
+    `detect_images` call (200 tiles — the production shape: the CLI's
+    --batch processes a folder the same way, amortizing the fixed RPC)
+  * raw 4096^2 exact-EDT device time (VERDICT r02 #1)
 
 Baseline: the reference runs one ultralytics yolo11x-obb predict call per
 tile on CPU (no published hardware numbers — BASELINE.md). Measured on
@@ -38,6 +49,8 @@ REFERENCE_TILES_PER_SEC = 4.25  # measured, tools/baseline_cpu.py
 # fraction of anchors that should cross conf 0.25 under random init —
 # yields reference-like raw det counts (a few hundred per map pre-merge)
 DENSITY_TARGET = 0.01
+
+REPS = 7
 
 
 def _calibrate_density(model, variables, tile_size, channels, target):
@@ -87,10 +100,13 @@ def _calibrate_density(model, variables, tile_size, channels, target):
 
 def _build_detector(cfg, calibrate, use_ckpt=False):
     """use_ckpt=False: flagship x-scale random init (+density calibration)
-    — the headline configuration, comparable across rounds. use_ckpt=True:
-    load runs/obb/train{ts}/best.ckpt when present (the checkpoint records
-    its model scale, so e.g. synthetic n-scale checkpoints bench with the
-    matching architecture); returns None if any scale's ckpt is missing."""
+    — comparable across rounds. use_ckpt=True: load
+    runs/obb/train{ts}/best.ckpt when present (the checkpoint records its
+    model scale AND channel count, so e.g. synthetic n-scale checkpoints
+    bench with the matching architecture; a channel or tile-size mismatch
+    with the requested config skips the trained section instead of
+    applying weights to the wrong stem); returns (None, reason) if any
+    scale's ckpt is missing/mismatched."""
     import dataclasses
 
     import jax
@@ -105,11 +121,19 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
         ck = f"runs/obb/train{sc.tile_size}/best.ckpt"
         if use_ckpt:
             if not os.path.exists(ck):
-                return None, None
+                return None, f"missing {ck}"
             from oriented_object_detection_tpu.train.trainer import (
                 load_checkpoint)
             ckd = load_checkpoint(ck)
             extra = ckd.get("extra", {})
+            ck_ts = extra.get("tile_size", sc.tile_size)
+            ck_ch = extra.get("channels", cfg.channels)
+            if ck_ts != sc.tile_size:
+                return None, (f"{ck} trained at tile_size {ck_ts}, "
+                              f"config wants {sc.tile_size}")
+            if ck_ch != cfg.channels:
+                return None, (f"{ck} trained with {ck_ch} channels, "
+                              f"config wants {cfg.channels}")
             sc = dataclasses.replace(
                 sc, model_scale=extra.get("model_scale", sc.model_scale))
             p = ckd["ema_params"] if ckd.get("ema_params") is not None \
@@ -136,16 +160,61 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
     return TiledDetector(cfg, params), ",".join(weights)
 
 
-def _time_reps(fn, reps):
-    """Median rep time: wall times through the TPU tunnel carry
-    occasional multi-hundred-ms RPC hiccups that a mean absorbs into the
-    headline (observed 611-1146 tiles/sec spread on the large map)."""
+def _time_reps(fn, reps=REPS):
+    """p10/median/p90 over reps: wall times through the TPU tunnel carry
+    occasional multi-hundred-ms RPC hiccups — a bare median hides whether
+    a cross-round delta is a regression or a hiccup (VERDICT r02 #4)."""
     times = []
     for _ in range(reps):
         t0 = time.time()
         fn()
         times.append(time.time() - t0)
-    return float(np.median(times))
+    return (float(np.percentile(times, 10)), float(np.median(times)),
+            float(np.percentile(times, 90)))
+
+
+def _spread_keys(prefix, n_tiles, p10, med, p90):
+    return {
+        f"{prefix}_tiles_per_sec": round(n_tiles / med, 2),
+        f"{prefix}_ms": round(med * 1000.0, 1),
+        f"{prefix}_ms_p10": round(p10 * 1000.0, 1),
+        f"{prefix}_ms_p90": round(p90 * 1000.0, 1),
+    }
+
+
+def _edt_4096_device_ms():
+    """Raw exact-EDT device time on a 4096^2 10%-density mask, isolated
+    from the fetch RPC by the chained-K method (block_until_ready only
+    acks enqueue through this tunnel; K chained calls minus one call,
+    divided by K-1, cancels the fixed fetch latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oriented_object_detection_tpu.ops.edt import edt_l2
+
+    rng = np.random.RandomState(0)
+    m = jnp.asarray(rng.rand(1, 4096, 4096) < 0.10)
+
+    def chain(K):
+        def f(mask):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(K):
+                d = edt_l2(mask ^ (acc > 1e30), use_pallas=True)
+                acc = acc + jnp.sum(d[..., 7, 3])
+            return acc
+        return jax.jit(f)
+
+    f1, f4 = chain(1), chain(4)
+    np.asarray(f1(m)); np.asarray(f4(m))  # compile
+    t1 = np.median([_t(lambda: np.asarray(f1(m))) for _ in range(5)])
+    t4 = np.median([_t(lambda: np.asarray(f4(m))) for _ in range(5)])
+    return round((t4 - t1) / 3 * 1000.0, 2)
+
+
+def _t(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def main():
@@ -172,70 +241,89 @@ def main():
     ]
     n_tiles = 90 + 9 + 121 + 16
 
-    # ---- headline: dual-scale 3ch, x-scale, realistic density ----------
     cfg = DetectConfig(
         scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)), channels=3)
-    det, weights = _build_detector(cfg, calibrate=True)
 
-    det.detect_images(images)            # warmup / compile
-    det_counts = [len(r["merged_for_pr"])
-                  for r in det.detect_images(images)]
-    prof.reset()
-    dt = _time_reps(lambda: det.detect_images(images), 5)
-    stage_ms = {k: round(v["total_s"] * 1000.0 / 5, 1)
-                for k, v in prof.report().items()}
-    tps = n_tiles / dt
-
-    # ---- production-scale map: 4096x4096 (1764 + 169 = 1933 tiles) -----
-    big = rng.randint(0, 255, (4096, 4096, 3)).astype(np.uint8)
-    big_tiles = 42 * 42 + 13 * 13
-    det.detect_images([big])             # warmup/compile
-    big_dt = _time_reps(lambda: det.detect_images([big]), 5)
-    big_tps = big_tiles / big_dt
-
-    # ---- trained checkpoints (realistic detection density) -------------
-    # synthetic-trained n-scale checkpoints (tools/e2e_synthetic.py)
-    # copied to runs/obb/train{128,416}/best.ckpt give the host
-    # merge/consensus/fusion path real work; reported next to the
-    # random-init headline per VERDICT r01 #5
-    trained = {}
+    # ---- HEADLINE: trained checkpoints (realistic detection density) ----
+    # synthetic-trained checkpoints (tools/e2e_synthetic.py) copied to
+    # runs/obb/train{128,416}/best.ckpt give the host merge/consensus/
+    # fusion path real work — the only configuration where every stage
+    # contributes (VERDICT r02 #4: headline)
+    out = {}
     det_t, weights_t = _build_detector(cfg, calibrate=False, use_ckpt=True)
     if det_t is not None:
         det_t.detect_images(images)      # warmup/compile
         counts_t = [len(r["merged_for_pr"])
                     for r in det_t.detect_images(images)]
-        dt_t = _time_reps(lambda: det_t.detect_images(images), 5)
-        trained = {
-            "trained_tiles_per_sec": round(n_tiles / dt_t, 2),
-            "trained_full_map_ms": round(dt_t * 1000.0, 1),
-            "trained_weights": weights_t,
-            "trained_det_counts": counts_t,
-        }
+        p10, med, p90 = _time_reps(lambda: det_t.detect_images(images))
+        out.update(_spread_keys("trained", n_tiles, p10, med, p90))
+        out["trained_weights"] = weights_t
+        out["trained_det_counts"] = counts_t
+        headline = ("golden dual-scale [128/30,416/100] TRAINED-ckpt "
+                    "end-to-end tiles/sec (Test1+Test2 geometry, 236 "
+                    "tiles, full merge/consensus/fusion)")
+        headline_tps = n_tiles / med
+        headline_weights = weights_t
+    else:
+        print(f"[bench] trained section skipped: {weights_t}",
+              file=sys.stderr)
+
+    # ---- random+density dual-scale (cross-round device-path number) ----
+    det, weights = _build_detector(cfg, calibrate=True)
+    det.detect_images(images)            # warmup / compile
+    det_counts = [len(r["merged_for_pr"])
+                  for r in det.detect_images(images)]
+    prof.reset()
+    p10, med, p90 = _time_reps(lambda: det.detect_images(images))
+    stage_ms = {k: round(v["total_s"] * 1000.0 / REPS, 1)
+                for k, v in prof.report().items()}
+    out.update(_spread_keys("random_density", n_tiles, p10, med, p90))
+    out["random_density_weights"] = weights
+    out["random_density_det_counts"] = det_counts
+    out["stage_ms_per_rep"] = stage_ms
+    if det_t is None:
+        headline = ("golden dual-scale [128/30,416/100] yolo11x-obb "
+                    "end-to-end tiles/sec (Test1+Test2 geometry, 236 "
+                    "tiles, random+density weights)")
+        headline_tps = n_tiles / med
+        headline_weights = weights
+
+    # ---- production-scale map: 4096x4096 (1764 + 169 = 1933 tiles) -----
+    big = rng.randint(0, 255, (4096, 4096, 3)).astype(np.uint8)
+    big_tiles = 42 * 42 + 13 * 13
+    det.detect_images([big])             # warmup/compile
+    p10, med, p90 = _time_reps(lambda: det.detect_images([big]))
+    out.update(_spread_keys("large_map", big_tiles, p10, med, p90))
 
     # ---- 4ch DT-Edge single-scale 416 (BASELINE config #3) -------------
     cfg4 = DetectConfig(scales=(ScaleConfig(416, 100),), channels=4)
     det4, weights4 = _build_detector(cfg4, calibrate=True)
-    n_tiles4 = 9 + 16
+    # (a) golden-2-map latency: 25 tiles vs ~150 ms fixed tunnel RPC —
+    # latency-bound by construction, kept for cross-round comparability
     det4.detect_images(images)           # warmup/compile (incl. EDT)
-    dt4 = _time_reps(lambda: det4.detect_images(images), 5)
-    tps4 = n_tiles4 / dt4
+    p10, med, p90 = _time_reps(lambda: det4.detect_images(images))
+    out.update(_spread_keys("dtedge_4ch_416_golden2", 25, p10, med, p90))
+    # (b) batched throughput: 16 maps in ONE detect_images call (200
+    # tiles) — the production shape (`oodt detect --batch` over a
+    # folder); amortizes the fixed RPC so the number tracks the device
+    # path (model fwd + in-graph DT-Edge incl. the banded Pallas EDT)
+    batch = [gen_map(rng, H=807, W=895, n_obj=40)[0] for _ in range(8)] \
+        + [gen_map(rng, H=1028, W=1056, n_obj=40)[0] for _ in range(8)]
+    batch_tiles = 8 * 9 + 8 * 16
+    det4.detect_images(batch)            # warmup/compile
+    p10, med, p90 = _time_reps(lambda: det4.detect_images(batch))
+    out.update(_spread_keys("dtedge_4ch_416", batch_tiles, p10, med, p90))
+
+    # ---- raw 4096^2 exact EDT device time (VERDICT r02 #1) -------------
+    out["edt_4096_device_ms"] = _edt_4096_device_ms()
 
     out = {
-        "metric": ("golden dual-scale [128/30,416/100] yolo11x-obb "
-                   "end-to-end tiles/sec (Test1+Test2 geometry, "
-                   "236 tiles)"),
-        "value": round(tps, 2),
+        "metric": headline,
+        "value": round(headline_tps, 2),
         "unit": "tiles/sec",
-        "vs_baseline": round(tps / REFERENCE_TILES_PER_SEC, 2),
-        "full_map_ms": round(dt * 1000.0, 1),
-        "weights": weights,
-        "det_counts": det_counts,
-        "stage_ms_per_rep": stage_ms,
-        "large_map_tiles_per_sec": round(big_tps, 2),
-        "large_map_ms": round(big_dt * 1000.0, 1),
-        "dtedge_4ch_416_tiles_per_sec": round(tps4, 2),
-        "dtedge_4ch_416_full_map_ms": round(dt4 * 1000.0, 1),
-        **trained,
+        "vs_baseline": round(headline_tps / REFERENCE_TILES_PER_SEC, 2),
+        "weights": headline_weights,
+        **out,
     }
     print(json.dumps(out))
 

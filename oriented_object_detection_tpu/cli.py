@@ -60,7 +60,20 @@ def _detect(args):
         if ck and os.path.exists(ck):
             params[ts] = variables_from_checkpoint(ck)
         else:
-            print(f"[WARN] checkpoint {ck} missing; random init")
+            if ck:
+                # a NAMED checkpoint that does not exist is an error (a
+                # typo'd path must not silently degrade to random
+                # weights); --allow-random opts into the degradation
+                if not args.allow_random:
+                    raise SystemExit(
+                        f"checkpoint {ck} for scale {ts} does not exist "
+                        "(pass --allow-random to run with random init "
+                        "anyway)")
+                print(f"[WARN] checkpoint {ck} missing; random init "
+                      "(--allow-random)")
+            else:
+                print(f"[WARN] no checkpoint given for scale {ts}; "
+                      "random init")
             m = YOLO11OBB(nc=12, scale=args.scale,
                           in_channels=args.channels)
             import jax.numpy as jnp
@@ -157,6 +170,8 @@ def _train(args):
         # 4ch inputs (`Train_OBB.py:763-787` gates on APPLY_FILTERED_RGB;
         # our flag mirrors it but defaults on for 4ch training)
         apply_filtered_rgb=args.channels == 4 or args.filtered_rgb)
+    if args.close_mosaic is not None:
+        cfg = dataclasses.replace(cfg, close_mosaic=args.close_mosaic)
 
     root = args.data_root
     ts = cfg.tile_size
@@ -225,8 +240,18 @@ def _train(args):
 
     rng = np.random.RandomState(cfg.seed)
 
+    from .data.loader import mosaic_p_for_epoch
+
+    closed = []
+
     def train_batches(epoch):
-        return train_ds.batches(cfg.batch_size, rng, augment=True)
+        mp = mosaic_p_for_epoch(epoch, cfg.epochs, cfg.close_mosaic)
+        if mp == 0.0 and not closed:
+            closed.append(epoch)
+            print(f"[close_mosaic] mosaic disabled for the final "
+                  f"{cfg.close_mosaic} epochs (engine default)")
+        return train_ds.batches(cfg.batch_size, rng, augment=True,
+                                mosaic_p=mp)
 
     from .eval.val import validate_tiles
 
@@ -235,7 +260,8 @@ def _train(args):
 
     ckpt_dir = args.ckpt_dir or f"runs/obb/train{ts}"
     TR.fit(model, state, tx, cfg, train_batches, val_fn=val_fn,
-           ckpt_dir=ckpt_dir, mesh=mesh, resume=args.resume)
+           ckpt_dir=ckpt_dir, mesh=mesh, resume=args.resume,
+           init_ckpt=args.init_ckpt)
 
 
 def _convert(args):
@@ -257,7 +283,20 @@ def _convert(args):
     else:
         import torch
 
-        ck = torch.load(args.pt, map_location="cpu", weights_only=False)
+        try:
+            # weights_only=True refuses pickled code execution; real
+            # ultralytics .pt files wrap an nn.Module and need the
+            # fallback, which runs arbitrary pickled code — only convert
+            # checkpoints from sources you trust (the reference's Google
+            # Drive links, README.md:183-188)
+            ck = torch.load(args.pt, map_location="cpu",
+                            weights_only=True)
+        except Exception:
+            print("[Convert] weights_only load failed; falling back to "
+                  "full unpickling — this EXECUTES code embedded in the "
+                  "checkpoint, only proceed with trusted files")
+            ck = torch.load(args.pt, map_location="cpu",
+                            weights_only=False)
         model = ck.get("model", ck) if isinstance(ck, dict) else ck
         state = model.state_dict() if hasattr(model, "state_dict") \
             else model
@@ -323,6 +362,9 @@ def main(argv=None):
                    help="metrics IoU/conf threshold (reference iou_thr)")
     d.add_argument("--map-min-score", type=float, default=0.001)
     d.add_argument("--no-border-filter", action="store_true")
+    d.add_argument("--allow-random", action="store_true",
+                   help="fall back to random init when a named "
+                        "checkpoint path does not exist (default: error)")
     d.add_argument("--margin-128", type=int, default=10)
     d.add_argument("--margin-416", type=int, default=20)
     d.set_defaults(fn=_detect)
@@ -342,6 +384,14 @@ def main(argv=None):
                         "(implied by --channels 4)")
     t.add_argument("--resume", action="store_true",
                    help="resume from <ckpt-dir>/last.ckpt")
+    t.add_argument("--init-ckpt",
+                   help="warm-start params/EMA from a converted "
+                        "checkpoint (the engine's pretrained "
+                        "yolo11x-obb.pt start, Train_OBB.py:792); "
+                        "step/schedule/optimizer start fresh")
+    t.add_argument("--close-mosaic", type=int, default=None,
+                   help="disable mosaic for the final N epochs "
+                        "(engine default 10)")
     t.add_argument("--ckpt-dir")
     t.set_defaults(fn=_train)
 

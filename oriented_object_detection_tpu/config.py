@@ -131,6 +131,11 @@ class TrainConfig:
     # OBB. Kept for config-surface parity; see PARITY.md.
     dropout: float = 0.0
     patience: int = 50
+    # engine default: mosaic disabled for the final N epochs (ultralytics
+    # close_mosaic=10, exercised via `Train_OBB.py:796-841`); runs
+    # shorter than N keep mosaic on for every epoch (engine trigger
+    # epoch would be negative) — see loader.mosaic_p_for_epoch
+    close_mosaic: int = 10
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
     # loss gains (engine defaults)

@@ -74,7 +74,10 @@ def _augment_batch_fn(channels: int):
         fl = flips[:, None, None, None]
         x = jnp.where(fl, AUG.fliplr_image(x), x)
         if channels == 3:
-            x = AUG.hsv_jitter(x, sg, vg)
+            # per-SAMPLE gains [B] (the engine draws HSV per image;
+            # drawing once per batch reduced augmentation diversity,
+            # VERDICT r02 #3)
+            x = AUG.hsv_jitter(x, sg[:, None, None], vg[:, None, None])
         gb = jnp.where(
             flips[:, None, None],
             gb.at[..., 0].set(ts - gb[..., 0]).at[..., 4].multiply(-1.0),
@@ -135,7 +138,8 @@ def _mosaic_batch_fn(ts: int, channels: int):
         fl = flips[:, None, None, None]
         x = jnp.where(fl, AUG.fliplr_image(x), x)
         if channels == 3:
-            x = AUG.hsv_jitter(x, sg, vg)
+            # per-SAMPLE gains [B], see _augment_batch_fn
+            x = AUG.hsv_jitter(x, sg[:, None, None], vg[:, None, None])
         gb = jnp.where(
             flips[:, None, None],
             gb.at[..., 0].set(float(ts) - gb[..., 0])
@@ -145,6 +149,19 @@ def _mosaic_batch_fn(ts: int, channels: int):
 
     _MOSAIC_CACHE[key] = run
     return run
+
+
+def mosaic_p_for_epoch(epoch: int, total_epochs: int, close_mosaic: int,
+                       base_p: float = 1.0) -> float:
+    """Engine close_mosaic semantics (`Train_OBB.py:796-841` via the
+    ultralytics trainer default close_mosaic=10): mosaic is disabled from
+    epoch `total_epochs - close_mosaic` onward — and never, when the run
+    is shorter than the close-out window (the engine's trigger epoch
+    would be negative and never fires)."""
+    thr = total_epochs - close_mosaic
+    if close_mosaic > 0 and 0 <= thr <= epoch:
+        return 0.0
+    return base_p
 
 
 def label_path_for_tile(image_path: str) -> str:
@@ -388,10 +405,11 @@ class TileDataset:
 
             gbj = jnp.asarray(gb)
             if augment:
-                # horizontal flip (per-sample), HSV jitter (per-batch)
+                # horizontal flip and HSV jitter, both per-sample
+                # (the engine draws HSV gains per image)
                 flips = rng.rand(B) < fliplr_p
-                sg = max(1.0 + rng.uniform(-1, 1) * hsv_s, 0.0)
-                vg = max(1.0 + rng.uniform(-1, 1) * hsv_v, 0.0)
+                sg = np.maximum(1.0 + rng.uniform(-1, 1, B) * hsv_s, 0.0)
+                vg = np.maximum(1.0 + rng.uniform(-1, 1, B) * hsv_v, 0.0)
                 if use_dev:
                     run = _mosaic_batch_fn(ts, self.channels)
                     x, gbj = run(cache, jnp.asarray(tidx),
@@ -401,13 +419,16 @@ class TileDataset:
                                  jnp.asarray(wtab[:, 2]),
                                  jnp.asarray(wtab[:, 3]),
                                  jnp.asarray(is_mos), gbj,
-                                 jnp.asarray(flips), jnp.float32(sg),
-                                 jnp.float32(vg))
+                                 jnp.asarray(flips),
+                                 jnp.asarray(sg, jnp.float32),
+                                 jnp.asarray(vg, jnp.float32))
                 else:
                     aug = _augment_batch_fn(self.channels)
                     x, gbj = aug(jnp.asarray(imgs, jnp.float32), gbj,
-                                 jnp.asarray(flips), jnp.float32(sg),
-                                 jnp.float32(vg), jnp.float32(ts))
+                                 jnp.asarray(flips),
+                                 jnp.asarray(sg, jnp.float32),
+                                 jnp.asarray(vg, jnp.float32),
+                                 jnp.float32(ts))
             else:
                 x = jnp.asarray(imgs, jnp.float32) / 255.0
 

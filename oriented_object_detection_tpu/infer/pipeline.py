@@ -396,17 +396,21 @@ class TiledDetector:
                 else np.zeros((0, F.DET_WIDTH), np.float64))
 
     def _check_cap(self, flat: np.ndarray) -> None:
-        """Warn when the per-map compaction cap bound: every packed row
-        valid means conf-ranked rows below the cap were silently dropped
-        on device (predict mode only; metrics mode packs all slots)."""
+        """Warn when the per-map compaction cap MAY have bound: every
+        packed row valid means either conf-ranked rows below the cap were
+        dropped on device, or the valid count landed exactly on the cap
+        with nothing lost — the packed result cannot distinguish the two
+        (predict mode only; metrics mode packs all slots)."""
         if (not self.cfg.calculate_metrics and len(flat)
                 and bool((flat[:, 11] > 0.5).all())):
             import warnings
 
             warnings.warn(
-                f"per-map detection cap bound (all {len(flat)} packed rows "
-                "valid): low-confidence detections were dropped on device. "
-                "Raise DetectConfig.max_det_per_map.", RuntimeWarning)
+                f"per-map detection cap may have bound (all {len(flat)} "
+                "packed rows valid): low-confidence detections MAY have "
+                "been dropped on device — or the count landed exactly on "
+                "the cap. Raise DetectConfig.max_det_per_map to be sure.",
+                RuntimeWarning)
 
     def _collect_scale(self, packed, merge_iou: float) -> np.ndarray:
         """One D2H fetch + host merge."""
@@ -486,6 +490,78 @@ class TiledDetector:
         calculate_metrics, the wide pre-consensus union (`merged_for_map`)
         — mirroring `process_image` (`Detect_OBB.py:268-345`)."""
         return self.detect_images([image_bgr])[0]
+
+    # ------------------------------------------------------------------
+    # ultralytics-Results-style surface (migration aids)
+    # ------------------------------------------------------------------
+    def predict(self, image_bgr: np.ndarray) -> Detections:
+        """Full tiled multi-scale detection with the ultralytics-Results
+        accessor surface: `det.predict(img).xyxyxyxy/.cls/.conf/.angle`
+        over the consensus+merged set (`Detect_OBB.py:228-231` shape)."""
+        return Detections(self.detect_image(image_bgr)["merged_for_pr"])
+
+    def predict_crop(self, crop_bgr: np.ndarray,
+                     tile_size: Optional[int] = None) -> Detections:
+        """Single-crop predictor, the reference's `run_inference_on_crop`
+        (`Detect_OBB.py:76-85`): DT-Edge multichannel build on the raw
+        crop, ultralytics-style letterbox to the model size
+        (`ops/image.py::letterbox` — aspect-preserving resize + 114 pad),
+        one forward + decode + rotated NMS, and corners mapped back to
+        CROP pixel coords via (x - pad) / ratio. No tiling, no border
+        filter, no merge — the raw per-crop result the engine's
+        `model(net_input)` returns."""
+        from ..ops import image as IM
+
+        ts = tile_size or self.cfg.scales[0].tile_size
+        if ts not in self.models:
+            raise ValueError(f"no model for tile size {ts}; have "
+                             f"{sorted(self.models)}")
+        conf_thr = self._conf_thr()
+        key = ("crop", ts, crop_bgr.shape,
+               self._packed.get(ts) is not None)
+        if key not in self._fns:
+            cfg = self.cfg
+            model = self.models[ts]
+            packed = self._packed.get(ts)
+            spec = packed[1] if packed is not None else None
+            dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+                else jnp.float32
+
+            @jax.jit
+            def run(params, img_u8, thr):
+                if spec is not None:
+                    from ..utils.runtime import unpack_tree
+
+                    params = unpack_tree(params, spec)
+                mc = DT.build_multich(img_u8[None], cfg.channels,
+                                      cfg.dt_edge,
+                                      use_pallas=cfg.use_pallas_edt)[0]
+                x, ratio, (dw, dh) = IM.letterbox(mc, ts)
+                x = (x[None] / 255.0).astype(dtype)
+                out = model.apply(params, x)
+                rbox, scores = D.decode_raw(out, ts)
+                dets = D.postprocess_batch(
+                    rbox, scores, thr, cfg.engine_nms_iou,
+                    max_det=self.max_det, pre_topk=self.pre_topk)
+                c8 = dets["corners8"][0]                      # [Nd, 8]
+                pad = jnp.asarray([dw, dh] * 4, jnp.float32)
+                c8 = (c8 - pad) / ratio
+                ang = jnp.where(dets["cls"][0] == STRIKE_CLS,
+                                G.strike_angle(c8), 0.0)
+                return jnp.concatenate([
+                    c8,
+                    dets["cls"][0][:, None].astype(jnp.float32),
+                    dets["conf"][0][:, None].astype(jnp.float32),
+                    ang[:, None],
+                    dets["valid"][0][:, None].astype(jnp.float32),
+                ], axis=1)                                    # [Nd, 12]
+
+            self._fns[key] = run
+        packed = self._fns[key](
+            self._params_arg(ts), jnp.asarray(crop_bgr),
+            self._conf_scalar(conf_thr))
+        flat = np.asarray(packed, np.float64)
+        return Detections(flat[flat[:, 11] > 0.5][:, :11])
 
 
 # ---------------------------------------------------------------------------

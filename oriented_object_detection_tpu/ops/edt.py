@@ -7,15 +7,21 @@ maskSize=3 variant is the Borgefors *chamfer approximation* (weights
 two-pass separable decomposition:
 
   pass 1 (columns): d0[i,j] = min_k { |i-k| : mask[k,j] == 0 }
-      — forward/backward running-min scans (lax.scan, vectorized over
-        batch x width).
+      — log-step-doubling running-min (exact, see `_edt_pass1_columns`).
   pass 2 (rows):    D[i,j]  = sqrt( min_k d0[i,k]^2 + (j-k)^2 )
-      — a min-plus reduction against the parabola matrix. Dense but
-        embarrassingly parallel; implemented as a Pallas TPU kernel tiled
-        (rows x j-block) with the k-loop running in VMEM, plus a chunked
-        pure-XLA fallback for CPU/debug.
+      — a min-plus against the parabola family, implemented as a BANDED
+        shift-space Pallas TPU kernel: since sqrt(a^2+b^2) <= a+b, a
+        cheap per-strip radius bound R proves the argmin satisfies
+        |j - k*| <= R, so the kernel only scans offsets delta in [-R, R]
+        with out[j] = min(out[j], f2[j+delta] + delta^2) — one [8, W]
+        vector op per offset against an INF-padded VMEM scratch. Total
+        work is O(W * R): near-linear on dense-edge map imagery (R is
+        tens of pixels), degrading gracefully to O(W^2) with a tiny
+        constant on pathological empty images. A chunked pure-XLA brute
+        force remains as the CPU/debug fallback.
 
-Exactness: pass2 brute-forces the true lower envelope, so the result equals
+Exactness: the band provably contains the true argmin, so the banded
+kernel still computes the exact lower envelope and the result equals
 scipy.ndimage.distance_transform_edt bit-for-bit in squared space.
 """
 
@@ -80,43 +86,128 @@ def _edt_pass2_rows_xla(d0: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
     return out
 
 
-def _edt_pass2_rows_pallas(d0: jnp.ndarray) -> jnp.ndarray:
-    """Pallas TPU kernel for pass 2. d0: [N, W] (rows flattened); returns
-    squared distances [N, W]. W must be a multiple of 128, N of 8."""
+_ROWS = 8  # rows per strip / grid cell
+_GRP = 8   # column decimation for the band-radius bound
+
+
+def _band_radius(d0: jnp.ndarray, real_w: int) -> jnp.ndarray:
+    """Per-strip band radius R that provably contains every pass-2 argmin.
+
+    Since sqrt(a^2 + b^2) <= a + b, the true distance obeys
+    D(j) <= d0[k] + |j - k| for every k, so the argmin k* satisfies
+    |j - k*| <= D(j) <= that bound. Computed at _GRP-column granularity:
+    with g8[row, g] = min over group g's columns of d0, the exact
+    group-level L1 envelope
+        U8[row, g] = min_h ( g8[row, h] + _GRP * |g - h| )
+    (log-step-doubling min-plus, same exactness argument as pass 1)
+    bounds D(j) <= U8[g(j)] + (_GRP - 1) for every j in group g. The
+    strip radius is the max over the strip's rows and groups. Cost: a
+    W/_GRP-wide doubling — ~1/_GRP of a full-resolution envelope and
+    microseconds next to pass 2 itself; granularity costs at most
+    2*(_GRP-1) extra scan offsets per strip.
+
+    Groups made entirely of INF-padded columns (g >= ceil(real_w/_GRP))
+    are EXCLUDED from the strip max: their envelope value is their
+    distance to the nearest real column, which would inflate every
+    strip's radius by up to the pad width (measured 8x pass-2 blowup on
+    416->512-padded tiles); their outputs are sliced away by the caller
+    anyway, and dropping pad-k candidates is sound because their f = INF
+    never wins for real j.
+
+    d0: [N, W] (N % _ROWS == 0, W % _GRP == 0); real_w: count of real
+    (non-pad) columns. Returns int32 [S]."""
+    N, W = d0.shape
+    S, G = N // _ROWS, W // _GRP
+    u = jnp.minimum(d0, _INF).reshape(N, G, _GRP).min(axis=2)  # [N, G]
+    s = 1
+    while s < G:
+        inf_pad = jnp.full((N, s), _INF, jnp.float32)
+        left = jnp.concatenate([u[:, s:], inf_pad], axis=1) + float(s * _GRP)
+        right = jnp.concatenate([inf_pad, u[:, :-s]], axis=1) \
+            + float(s * _GRP)
+        u = jnp.minimum(u, jnp.minimum(left, right))
+        s *= 2
+    g_real = -(-real_w // _GRP)
+    u = u[:, :g_real]
+    r = u.reshape(S, _ROWS * g_real).max(axis=1) + float(_GRP - 1)
+    # +1 for the ceil; clip to W so INF never overflows int32
+    return jnp.minimum(r + 1.0, float(W)).astype(jnp.int32)
+
+
+def _edt_pass2_rows_pallas(d0: jnp.ndarray, radius: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Banded shift-space Pallas TPU kernel for pass 2.
+
+    d0: [N, W] vertical distances (rows flattened); radius: int32 [N//8]
+    per-strip band radii from `_band_radius`. Returns squared distances
+    [N, W]. W must be a multiple of 128, N of 8.
+
+    One grid cell per 8-row strip. A dynamic-bound fori_loop scans
+    offsets delta in [-R, R] with a dynamic CIRCULAR lane roll
+    (tpu.dynamic_rotate — Mosaic cannot do unaligned dynamic vector
+    loads, but dynamic rolls are native):
+        out = min(out, where(0 <= j+delta < W, roll(f^2, -delta) +
+                             delta^2, INF))
+    — a handful of [8, W] vector ops per offset, no 3-D broadcasts, no
+    per-j-block grid overhead; the mask kills wrapped lanes so edge
+    handling is free."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, W = d0.shape
-    ROWS = 8
-    JBLK = 128
+    INFSQ = _INF * _INF
 
-    def kernel(f_ref, out_ref):
-        jb = pl.program_id(1)
-        j = (jb * JBLK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, JBLK), 1)).astype(jnp.float32)    # [1, JBLK]
-        acc = jnp.full((ROWS, JBLK), _INF, jnp.float32)
+    def kernel(r_ref, f_ref, out_ref):
+        s = pl.program_id(0)
+        fsq = jnp.minimum(f_ref[...], _INF) ** 2
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        r = r_ref[s]
+        out_ref[...] = fsq                      # delta = 0 candidate
 
-        def body(kb, acc):
-            kk = (kb * JBLK + jax.lax.broadcasted_iota(
-                jnp.int32, (JBLK, 1), 0)).astype(jnp.float32)  # [JBLK, 1]
-            para = (j - kk) ** 2                         # [JBLK, JBLK]
-            # dynamic slice must go through the ref, not a loaded array
-            fblk = f_ref[:, pl.ds(kb * JBLK, JBLK)]      # [ROWS, JBLK]
-            fblk = jnp.minimum(fblk, _INF) ** 2
-            cand = fblk[:, :, None] + para[None, :, :]   # [ROWS, K, J]
-            return jnp.minimum(acc, cand.min(axis=1))
+        # scan outward (0, +1, -1, +2, -2, ...) and stop as soon as
+        # delta^2 exceeds the strip's current max: no remaining offset
+        # can improve any pixel then. This shrinks the scan from the
+        # sqrt(2)-loose L1 radius bound toward the strip's TRUE max
+        # distance (a stale max only over-scans, never under-scans).
+        # The max-reduce is refreshed only every 16 offsets — feeding it
+        # into every cond serializes the loop and doubled the runtime on
+        # large-radius strips.
+        def mag(i):
+            return (i + 1) // 2
 
-        acc = jax.lax.fori_loop(0, W // JBLK, body, acc)
-        out_ref[...] = acc
+        def cond(carry):
+            i, maxout = carry
+            m = mag(i).astype(jnp.float32)
+            return (i < 2 * r + 1) & (m * m <= maxout)
 
-    grid = (N // ROWS, W // JBLK)
+        def body(carry):
+            i, maxout = carry
+            delta = jnp.where(i % 2 == 1, mag(i), -mag(i))
+            df = delta.astype(jnp.float32)
+            rolled = pltpu.roll(fsq, -delta, 1)  # j <- f^2[(j+delta)%W]
+            src = jidx + delta
+            valid = (src >= 0) & (src < W)
+            cand = jnp.where(valid, rolled + df * df, INFSQ)
+            out_ref[...] = jnp.minimum(out_ref[...], cand)
+            maxout = jax.lax.cond(
+                (i + 1) % 16 == 0,
+                lambda: jnp.max(out_ref[...]),
+                lambda: maxout)
+            return i + 1, maxout
+
+        jax.lax.while_loop(cond, body, (1, jnp.max(fsq)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // _ROWS,),
+        in_specs=[pl.BlockSpec((_ROWS, W), lambda s, r: (s, 0))],
+        out_specs=pl.BlockSpec((_ROWS, W), lambda s, r: (s, 0)),
+    )
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec((ROWS, W), lambda i, j: (i, 0))],
-        out_specs=pl.BlockSpec((ROWS, JBLK), lambda i, j: (i, j)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, W), jnp.float32),
-    )(d0.astype(jnp.float32))
+    )(radius, d0.astype(jnp.float32))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -136,9 +227,13 @@ def edt_l2(edge_mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
         Np = _round_up(int(np.prod(lead, dtype=np.int64)) * H, 8)
         Wp = _round_up(W, 128)
         flat = d0.reshape(-1, W)
-        flat = jnp.pad(flat, ((0, Np - flat.shape[0]), (0, Wp - W)),
-                       constant_values=_INF)
-        sq = _edt_pass2_rows_pallas(flat)[
+        # pad COLUMNS with INF (those k must never win for real j); pad
+        # ROWS with 0 (rows are independent and the pads are discarded —
+        # 0 keeps the trailing strip's band loop trivial)
+        flat = jnp.pad(flat, ((0, 0), (0, Wp - W)), constant_values=_INF)
+        flat = jnp.pad(flat, ((0, Np - flat.shape[0]), (0, 0)),
+                       constant_values=0.0)
+        sq = _edt_pass2_rows_pallas(flat, _band_radius(flat, W))[
             : int(np.prod(lead, dtype=np.int64)) * H, :W]
         sq = sq.reshape(*lead, H, W)
     else:

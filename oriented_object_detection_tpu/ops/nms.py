@@ -63,9 +63,19 @@ def nms_keep_mask(
 ) -> jnp.ndarray:
     """Greedy class-aware NMS; returns a bool keep mask in ORIGINAL order.
 
-    `use_exact=True` uses the exact quad-quad IoU (merge semantics,
-    `Detect_OBB.py:193`); `False` uses ProbIoU on the xywhr fit (the
-    in-engine NMS metric).
+    `use_exact=True` uses the exact quad-quad IoU (the reference's merge
+    rule, `Detect_OBB.py:193`); `False` uses ProbIoU on the xywhr fit
+    (the in-engine NMS metric).
+
+    NOTE (production status): this sequential device kernel is a TESTED
+    ALTERNATIVE, not the production path. The pipeline's in-engine NMS
+    uses the one-shot kernel above (`nms_keep_mask_oneshot`), and the
+    per-tile merge (`Detect_OBB.py:264`) runs on the HOST over the few
+    surviving rows (`infer/fusion.py::merge_detections` + native C++) —
+    keeping the greedy scan in-graph as a padded O(max_det^2) loop
+    dominated device time. Kept because it is the only in-graph option
+    when host round trips are unacceptable (e.g. inside a larger fused
+    program), mirror-tested against the reference semantics.
     """
     n = corners8.shape[0]
     # Sort by confidence descending, invalid entries last. Stable so that

@@ -203,6 +203,9 @@ def save_checkpoint(path: str, state: TrainState, extra: dict | None = None):
         "params": jax.tree.map(np.asarray, state.params),
         "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
         "ema_params": jax.tree.map(np.asarray, state.ema_params),
+        # SGD momentum buffers: the engine's resume restores optimizer
+        # state, so --resume must not restart momentum (VERDICT r02 #4)
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
         "extra": extra or {},
     }
     with open(path, "wb") as f:
@@ -228,26 +231,54 @@ def variables_from_checkpoint(path: str, use_ema: bool = True) -> dict:
 # ---------------------------------------------------------------------------
 
 def restore_train_state(path: str, state: TrainState) -> TrainState:
-    """Resume: load params/EMA/batch_stats/step from a checkpoint into a
-    freshly-created state (optimizer state restarts; the lr schedule picks
-    up from the restored step)."""
+    """Resume: load params/EMA/batch_stats/opt_state/step from a
+    checkpoint into a freshly-created state. SGD momentum is restored
+    (engine parity); checkpoints from before r03 lack "opt_state" and
+    restart it from zeros with a warning. The lr schedule picks up from
+    the restored step."""
     ck = load_checkpoint(path)
+    opt = ck.get("opt_state")
+    if opt is None:
+        print("[Resume] checkpoint has no optimizer state (pre-r03); "
+              "momentum restarts from zero")
+        opt = state.opt_state
+    else:
+        opt = jax.tree.map(jnp.asarray, opt)
     return state.replace(
         step=jnp.asarray(ck["step"], jnp.int32),
         params=jax.tree.map(jnp.asarray, ck["params"]),
         batch_stats=jax.tree.map(jnp.asarray, ck["batch_stats"]),
         ema_params=jax.tree.map(jnp.asarray, ck["ema_params"]),
+        opt_state=opt,
+    )
+
+
+def warm_start_state(path: str, state: TrainState) -> TrainState:
+    """Warm start (`oodt train --init-ckpt`): load params/batch_stats
+    from a (typically converted, `oodt convert`) checkpoint into a fresh
+    state WITHOUT touching step/schedule/optimizer — the engine's
+    YOLO("yolo11x-obb.pt") pretrained start (`Train_OBB.py:792`), as
+    opposed to --resume which continues an interrupted run. EMA starts
+    from the loaded params like the engine re-seeds EMA at train start."""
+    ck = load_checkpoint(path)
+    params = jax.tree.map(jnp.asarray, ck["params"])
+    return state.replace(
+        params=params,
+        batch_stats=jax.tree.map(jnp.asarray, ck["batch_stats"]),
+        ema_params=jax.tree.map(jnp.array, params),
     )
 
 
 def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         val_fn=None, ckpt_dir: str = "runs/obb/train", mesh=None,
-        log_every: int = 10, resume: bool = False):
+        log_every: int = 10, resume: bool = False,
+        init_ckpt: str | None = None):
     """Simple epoch loop: `train_batches` yields (epoch iterable of batch
     dicts); `val_fn(state) -> float` returns a fitness score (higher
     better). Early-stops after `cfg.patience` epochs without improvement;
     writes best.ckpt / last.ckpt. `resume=True` restores last.ckpt from
-    ckpt_dir if present."""
+    ckpt_dir if present; `init_ckpt` warm-starts params/EMA from a
+    converted checkpoint (ignored when resuming)."""
     step_fn = make_train_step(model, tx, cfg, LossConfig(
         nc=cfg.nc, img_size=cfg.tile_size, box_gain=cfg.box_gain,
         cls_gain=cfg.cls_gain, dfl_gain=cfg.dfl_gain))
@@ -262,6 +293,11 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         best = float(ck["extra"].get("best_fitness", best))
         best_epoch = int(ck["extra"].get("best_epoch", best_epoch))
         print(f"[Resume] from {last_path} @ epoch {start_epoch}")
+    elif init_ckpt:
+        if not os.path.exists(init_ckpt):
+            raise FileNotFoundError(f"--init-ckpt {init_ckpt} not found")
+        state = warm_start_state(init_ckpt, state)
+        print(f"[WarmStart] params/EMA initialized from {init_ckpt}")
 
     from ..utils.plots import ResultsWriter
 

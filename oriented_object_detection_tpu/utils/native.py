@@ -30,14 +30,23 @@ def _load():
     so = os.path.join(_NATIVE_DIR, "libgeomobb.so")
     # Always run make: it is a no-op when the .so is newer than geom.cpp,
     # and rebuilds a stale .so after source edits (a prebuilt binary must
-    # never silently serve an old geometry algorithm). Only treat failure
-    # as fatal when no .so exists at all.
+    # never silently serve an old geometry algorithm). Concurrent
+    # processes (parallel test runs) serialize on a lock file, and the
+    # Makefile renames the .so into place atomically, so a half-written
+    # library can never be dlopen'd. Only treat failure as fatal when no
+    # .so exists at all — but warn when serving a stale one.
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
-    except Exception:
+        import fcntl
+
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+    except Exception as e:
         if not os.path.exists(so):
             return None
+        print(f"[native] rebuild failed ({e!r}); using the EXISTING "
+              f"{so} — it may predate local geom.cpp edits")
     try:
         lib = ctypes.CDLL(so)
     except OSError:

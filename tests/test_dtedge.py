@@ -39,6 +39,49 @@ class TestEDT:
         got = np.asarray(edt_l2(jnp.asarray(mask)))
         np.testing.assert_allclose(got, 0.0)
 
+    def test_pallas_banded_adversarial_masks(self):
+        """The banded scan's radius bound must stay sound on masks that
+        stress it: a single far pixel, a single column, one dense and one
+        empty half (mixed radii across strips), and pad-straddling
+        non-128-multiple widths."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.RandomState(7)
+        single = np.zeros((1, 48, 300), bool)
+        single[0, 30, 250] = True
+        col = np.zeros((1, 32, 256), bool)
+        col[0, :, 5] = True
+        halves = np.zeros((1, 24, 512), bool)
+        halves[0, :, 300:] = rng.rand(24, 212) < 0.2
+        tile = rng.rand(2, 416, 416) < 0.1
+        for mask in (single, col, halves, tile):
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(edt_l2(jnp.asarray(mask),
+                                        use_pallas=True))
+            for b in range(mask.shape[0]):
+                ref = scipy_nd.distance_transform_edt(~mask[b])
+                np.testing.assert_allclose(got[b], ref, atol=1e-3)
+
+
+class TestPercentile:
+    def test_bitsearch_matches_numpy(self):
+        """Sort-free bit-search percentile == np.percentile (linear
+        interpolation) on non-negative data, scalar and vector q."""
+        rng = np.random.RandomState(3)
+        for shape, scale in [((3, 40, 56), 1.0), ((1, 64, 64), 1e6),
+                             ((2, 7, 9), 100.0)]:
+            x = (np.abs(rng.randn(*shape)) * scale).astype(np.float32)
+            x.flat[::7] = 0.0
+            for q in [90.0, 65.0, (1.0, 99.0), 0.0, 100.0]:
+                got = np.asarray(DT._percentile_hw(jnp.asarray(x), q))
+                ref = np.percentile(
+                    x.reshape(shape[0], -1).astype(np.float64), q,
+                    axis=-1)
+                if np.ndim(q) > 0:
+                    ref = np.moveaxis(ref, 0, -1)
+                denom = max(1e-9, float(np.abs(ref).max()))
+                assert np.abs(got - ref).max() / denom < 1e-6, (shape, q)
+
 
 class TestPrimitives:
     def test_gray_matches_cv2(self):

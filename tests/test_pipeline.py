@@ -150,3 +150,79 @@ class TestSmallImages:
         assert len(res) == 2
         for r in res:
             assert r["merged_for_pr"].shape[1] == 11
+
+
+class TestResultsAPI:
+    """The ultralytics-Results migration surface (`Detect_OBB.py:228-231`):
+    Detections accessors + TiledDetector.predict/predict_crop."""
+
+    def test_detections_accessors_match_rows(self):
+        rows = np.array([
+            [0, 0, 10, 0, 10, 8, 0, 8, 1, 0.9, 45.0],
+            [5, 5, 9, 5, 9, 9, 5, 9, 3, 0.4, 0.0],
+        ], np.float64)
+        d = P.Detections(rows)
+        assert len(d) == 2
+        np.testing.assert_array_equal(d.xyxyxyxy,
+                                      rows[:, :8].reshape(-1, 4, 2))
+        np.testing.assert_array_equal(d.cls, [1, 3])
+        np.testing.assert_allclose(d.conf, [0.9, 0.4])
+        np.testing.assert_allclose(d.angle, [45.0, 0.0])
+        assert d.names[1] == "Strike"
+        # per-detection iteration
+        singles = list(d)
+        assert len(singles) == 2 and singles[0].cls[0] == 1
+
+    def test_predict_wraps_merged_for_pr(self):
+        det = make_detector([(64, 16)])
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+        res = det.detect_image(img)
+        d = det.predict(img)
+        assert isinstance(d, P.Detections)
+        np.testing.assert_allclose(
+            d.rows, np.asarray(res["merged_for_pr"])[:, :11])
+
+    def test_predict_crop_matches_manual_mirror(self):
+        """predict_crop == letterbox -> forward -> decode -> NMS ->
+        (corners - pad) / ratio, checked against a manual mirror of that
+        chain on a non-square crop (exercises the coordinate back-map;
+        random-init DFL boxes extend far outside the crop, so extent
+        bounds are not an invariant — the mapping is)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from oriented_object_detection_tpu.models import decode as D
+        from oriented_object_detection_tpu.ops import image as IM
+
+        det = make_detector([(64, 16)])
+        det.cfg = dataclasses.replace(det.cfg, conf_thr_predict=0.0)
+        det._conf_cache = {}
+        rng = np.random.RandomState(4)
+        crop = rng.randint(0, 255, (40, 90, 3)).astype(np.uint8)  # wide
+        d = det.predict_crop(crop)
+        assert isinstance(d, P.Detections)
+        assert len(d) > 0          # thr 0.0 keeps NMS survivors
+
+        # manual mirror
+        x, ratio, (dw, dh) = IM.letterbox(
+            jnp.asarray(crop[..., ::-1].astype(np.float32)), 64)
+        out = det.models[64].apply(
+            det.params[64], (x[None] / 255.0).astype(jnp.bfloat16))
+        rbox, scores = D.decode_raw(out, 64)
+        dets = D.postprocess_batch(rbox, scores, jnp.float32(0.0),
+                                   det.cfg.engine_nms_iou,
+                                   max_det=det.max_det,
+                                   pre_topk=det.pre_topk)
+        c8 = np.asarray(dets["corners8"][0], np.float64)
+        valid = np.asarray(dets["valid"][0], bool)
+        want = (c8[valid] - np.array([dw, dh] * 4)) / ratio
+        np.testing.assert_allclose(
+            d.rows[:, :8], want, atol=1e-3)
+
+    def test_predict_crop_unknown_scale_errors(self):
+        det = make_detector([(64, 16)])
+        with pytest.raises(ValueError):
+            det.predict_crop(np.zeros((32, 32, 3), np.uint8),
+                             tile_size=128)

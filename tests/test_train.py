@@ -177,6 +177,102 @@ class TestDataParallel:
         out = model.apply(v, x)
         assert out["cls"][0].shape[-1] == 12
 
+    def test_resume_restores_optimizer_momentum(self, tmp_path):
+        """--resume must restore SGD momentum buffers (engine parity,
+        VERDICT r02): a step after save+restore must match a step without
+        the round trip bit-for-bit."""
+        cfg = TrainConfig(tile_size=32, model_scale="n",
+                          compute_dtype="float32")
+        model, state, _ = TR.create_train_state(
+            cfg, jax.random.PRNGKey(4), steps_per_epoch=5)
+        step_fn = TR.make_train_step(model, None, cfg,
+                                     LossConfig(img_size=32))
+        rng = np.random.RandomState(0)
+        b1, b2 = tiny_batch(rng, B=2, size=32), tiny_batch(rng, B=2,
+                                                           size=32)
+        # one step to build nonzero momentum, then save
+        state, _ = step_fn(state, b1)
+        assert any(float(np.abs(np.asarray(l)).max()) > 0
+                   for l in jax.tree.leaves(state.opt_state))
+        p = str(tmp_path / "last.ckpt")
+        TR.save_checkpoint(p, state, {})
+        # continue directly vs continue from the restored state
+        direct, _ = step_fn(state, b2)
+        _, fresh, _ = TR.create_train_state(
+            cfg, jax.random.PRNGKey(9), steps_per_epoch=5, model=model)
+        restored = TR.restore_train_state(p, fresh)
+        resumed, _ = step_fn(restored, b2)
+        for a, b in zip(jax.tree.leaves(direct.params),
+                        jax.tree.leaves(resumed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_pre_r03_checkpoint_without_opt_state(self, tmp_path):
+        """Checkpoints written before opt_state was serialized restore
+        with zero momentum instead of crashing."""
+        import pickle
+
+        cfg = TrainConfig(tile_size=32, model_scale="n",
+                          compute_dtype="float32")
+        model, state, _ = TR.create_train_state(
+            cfg, jax.random.PRNGKey(4), steps_per_epoch=5)
+        p = str(tmp_path / "old.ckpt")
+        TR.save_checkpoint(p, state, {})
+        with open(p, "rb") as f:
+            payload = pickle.load(f)
+        del payload["opt_state"]
+        with open(p, "wb") as f:
+            pickle.dump(payload, f)
+        restored = TR.restore_train_state(p, state)
+        for l in jax.tree.leaves(restored.opt_state):
+            assert float(np.abs(np.asarray(l)).max()) == 0.0
+
+    def test_warm_start_loads_params_keeps_fresh_schedule(self, tmp_path):
+        """--init-ckpt: params/EMA come from the checkpoint, but
+        step/optimizer start fresh (the engine's pretrained
+        yolo11x-obb.pt start, not a resume)."""
+        cfg = TrainConfig(tile_size=32, model_scale="n",
+                          compute_dtype="float32")
+        model, donor, _ = TR.create_train_state(
+            cfg, jax.random.PRNGKey(1), steps_per_epoch=5)
+        step_fn = TR.make_train_step(model, None, cfg,
+                                     LossConfig(img_size=32))
+        donor, _ = step_fn(donor, tiny_batch(np.random.RandomState(0),
+                                             B=2, size=32))
+        p = str(tmp_path / "init.ckpt")
+        TR.save_checkpoint(p, donor, {})
+        _, fresh, _ = TR.create_train_state(
+            cfg, jax.random.PRNGKey(2), steps_per_epoch=5, model=model)
+        warm = TR.warm_start_state(p, fresh)
+        assert int(warm.step) == 0
+        for a, b in zip(jax.tree.leaves(warm.params),
+                        jax.tree.leaves(donor.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # EMA re-seeded from loaded params, not the donor's EMA
+        for a, b in zip(jax.tree.leaves(warm.ema_params),
+                        jax.tree.leaves(warm.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for l in jax.tree.leaves(warm.opt_state):
+            assert float(np.abs(np.asarray(l)).max()) == 0.0
+
+
+class TestCloseMosaic:
+    def test_mosaic_p_for_epoch_engine_semantics(self):
+        from oriented_object_detection_tpu.data.loader import (
+            mosaic_p_for_epoch)
+
+        # 36 epochs, close 10: off from epoch 26
+        assert mosaic_p_for_epoch(25, 36, 10) == 1.0
+        assert mosaic_p_for_epoch(26, 36, 10) == 0.0
+        assert mosaic_p_for_epoch(35, 36, 10) == 0.0
+        # runs shorter than the window never close (engine trigger epoch
+        # is negative and never fires)
+        assert mosaic_p_for_epoch(0, 2, 10) == 1.0
+        assert mosaic_p_for_epoch(1, 2, 10) == 1.0
+        # close_mosaic == epochs: disabled from epoch 0
+        assert mosaic_p_for_epoch(0, 10, 10) == 0.0
+        # disabled feature
+        assert mosaic_p_for_epoch(9, 10, 0) == 1.0
+
 
 class TestScheduleInState:
     def test_no_recompile_across_epoch_configs(self):

@@ -68,3 +68,60 @@ class TestRoundTrip:
             sd = W.export_state_dict(v)
             rep = W.validate_against(W.convert_state_dict(sd), v)
             assert not rep["missing"] and not rep["mismatched"], scale
+
+
+class TestFrozenManifest:
+    """Regression guard against converter naming/shape drift
+    (VERDICT r02 #3): `ultralytics_manifest.json` is a frozen snapshot of
+    the exporter's key->shape map for yolo11{n,x}-obb x {3,4}ch.
+
+    NOTE on provenance: ultralytics is not installed in this environment
+    and the real .pt weights are external downloads, so the manifest is
+    derived from our exporter, not the engine — it pins OUR mapping
+    against future accidental drift; number-level validation against the
+    actual engine state dict still requires the published weights
+    (PARITY.md)."""
+
+    @pytest.fixture(scope="class")
+    def manifest(self):
+        import json
+        import os
+
+        p = os.path.join(
+            os.path.dirname(W.__file__), "ultralytics_manifest.json")
+        with open(p) as f:
+            return json.load(f)
+
+    @pytest.mark.parametrize("scale,ch", [("n", 3), ("n", 4)])
+    def test_export_matches_frozen_manifest(self, manifest, scale, ch):
+        m = YOLO11OBB(nc=12, scale=scale, in_channels=ch)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, ch)))
+        sd = W.export_state_dict(v, reverse_stem_channels=(ch == 4))
+        want = manifest[f"yolo11{scale}-obb-{ch}ch"]
+        got = {k: list(np.shape(a)) for k, a in sd.items()}
+        assert set(got) == set(want), (
+            sorted(set(got) ^ set(want))[:8])
+        for k in want:
+            assert got[k] == want[k], (k, got[k], want[k])
+
+    def test_manifest_shaped_statedict_converts_fully(self, manifest):
+        """A random state dict with EXACTLY the manifest's keys+shapes
+        must convert into a complete model (no missing/extra/mismatched)
+        — the shape a real downloaded checkpoint would take."""
+        rng = np.random.RandomState(0)
+        spec = manifest["yolo11n-obb-3ch"]
+        sd = {k: rng.randn(*shape).astype(np.float32)
+              for k, shape in spec.items()}
+        back = W.convert_state_dict(sd)
+        m = YOLO11OBB(nc=12, scale="n", in_channels=3)
+        ref = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        rep = W.validate_against(back, ref)
+        assert not rep["missing"] and not rep["extra"] \
+            and not rep["mismatched"], rep
+
+    def test_x_scale_manifest_key_count(self, manifest):
+        # x-scale snapshot kept in the manifest too (init is slow on the
+        # CPU test mesh, so only the count is asserted here; the full
+        # shape check runs for n)
+        assert len(manifest["yolo11x-obb-3ch"]) == 883
+        assert len(manifest["yolo11x-obb-4ch"]) == 883
