@@ -371,3 +371,51 @@ def point_in_quad(pt: jnp.ndarray, c8: jnp.ndarray) -> jnp.ndarray:
             jnp.minimum(y1, y2) <= y) & (y <= jnp.maximum(y1, y2))
         on_edge = on_edge | ((cr == 0) & within)
     return inside & ~on_edge
+
+
+def point_in_quad_np(pt, c8):
+    """Numpy twin of `point_in_quad` for host-side eval paths: eager jnp
+    calls with per-image shapes trigger a fresh per-op compile each
+    (measured 18 s over a 100-image center-hit sweep, 232 s when they
+    additionally dispatch through the TPU tunnel). Same algorithm,
+    tested equal (`test_geometry.py`)."""
+    import numpy as np
+
+    pt = np.asarray(pt, np.float64)
+    pts = np.asarray(c8, np.float64).reshape(*np.shape(c8)[:-1], 4, 2)
+    x, y = pt[..., 0], pt[..., 1]
+    inside = np.zeros(np.broadcast_shapes(x.shape, pts.shape[:-2]), bool)
+    on_edge = np.zeros_like(inside)
+    for i in range(4):
+        x1, y1 = pts[..., i, 0], pts[..., i, 1]
+        x2, y2 = pts[..., (i + 1) % 4, 0], pts[..., (i + 1) % 4, 1]
+        cond = (y1 > y) != (y2 > y)
+        xint = (x2 - x1) * (y - y1) / np.where(y2 == y1, 1.0, y2 - y1) + x1
+        inside = np.where(cond & (x < xint), ~inside, inside)
+        cr = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        within = (np.minimum(x1, x2) <= x) & (x <= np.maximum(x1, x2)) & (
+            np.minimum(y1, y2) <= y) & (y <= np.maximum(y1, y2))
+        on_edge = on_edge | ((cr == 0) & within)
+    return inside & ~on_edge
+
+
+def quad_is_simple_np(c8):
+    """Numpy twin of `quad_is_simple` (see `point_in_quad_np`)."""
+    import numpy as np
+
+    pts = np.asarray(c8, np.float64).reshape(*np.shape(c8)[:-1], 4, 2)
+
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0])
+
+    def proper(p1, p2, p3, p4):
+        d1, d2 = cross(p3, p4, p1), cross(p3, p4, p2)
+        d3, d4 = cross(p1, p2, p3), cross(p1, p2, p4)
+        return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    x01_23 = proper(pts[..., 0, :], pts[..., 1, :],
+                    pts[..., 2, :], pts[..., 3, :])
+    x12_30 = proper(pts[..., 1, :], pts[..., 2, :],
+                    pts[..., 3, :], pts[..., 0, :])
+    return ~(x01_23 | x12_30)

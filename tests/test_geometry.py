@@ -181,3 +181,33 @@ class TestPointInQuad:
             r = cv2.pointPolygonTest(
                 c8.reshape(4, 2).astype(np.float32), tuple(pt), False)
             assert got == (r > 0)
+
+
+class TestNumpyTwins:
+    """Host numpy twins used by the eval hot path must equal the jnp
+    versions bit-for-bit (eager jnp with per-image shapes recompiles per
+    op; see evaluate_center_hit)."""
+
+    def test_point_in_quad_np_matches_jnp(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        quads = rng.rand(40, 8) * 100
+        pts = rng.rand(25, 2) * 100
+        # include exact corners and edge midpoints (boundary cases)
+        pts = np.concatenate([pts, quads[:3, :2],
+                              (quads[:3, :2] + quads[:3, 2:4]) / 2])
+        a = np.asarray(G.point_in_quad(
+            jnp.asarray(pts)[:, None, :], jnp.asarray(quads[None])))
+        b = G.point_in_quad_np(pts[:, None, :], quads[None])
+        np.testing.assert_array_equal(a, b)
+
+    def test_quad_is_simple_np_matches_jnp(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(1)
+        quads = rng.rand(64, 8) * 50  # random octuples: many are bowties
+        a = np.asarray(G.quad_is_simple(jnp.asarray(quads)))
+        b = G.quad_is_simple_np(quads)
+        np.testing.assert_array_equal(a, b)
+        assert a.any() and (~a).any()  # both outcomes exercised

@@ -66,7 +66,9 @@ def main(argv=None):
     suffix = "_4ch" if ch == 4 else ""
     # 4ch mirrors the reference's single 4ch config (tile 416 only; the
     # reference's APPLY_FILTERED_RGB path builds one cropped4/ dataset)
-    geoms = ((416, 100),) if ch == 4 else ((128, 32), (416, 100))
+    # reference geometry exactly: 128/ov30 + 416/ov100
+    # (`Detect_OBB.py:24-25`; r02 trained 128 at ov32 — VERDICT #8)
+    geoms = ((416, 100),) if ch == 4 else ((128, 30), (416, 100))
     for ts, ov in geoms:
         ck = f"{root}/run{ts}{suffix}"
         if not os.path.exists(f"{ck}/best.ckpt"):
