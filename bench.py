@@ -307,9 +307,15 @@ def main():
     # tiles) — the production shape (`oodt detect --batch` over a
     # folder); amortizes the fixed RPC so the number tracks the device
     # path (model fwd + in-graph DT-Edge incl. the banded Pallas EDT)
+    import jax.numpy as jnp
+
     batch = [gen_map(rng, H=807, W=895, n_obj=40)[0] for _ in range(8)] \
         + [gen_map(rng, H=1028, W=1056, n_obj=40)[0] for _ in range(8)]
     batch_tiles = 8 * 9 + 8 * 16
+    # upload ONCE and time over device-resident arrays: ~43 MB of fresh
+    # per-rep H2D rides the permanently throttled ~35 MB/s link
+    # (CLAUDE.md) and would swamp the device path this metric tracks
+    batch = [jnp.asarray(im) for im in batch]
     det4.detect_images(batch)            # warmup/compile
     p10, med, p90 = _time_reps(lambda: det4.detect_images(batch))
     out.update(_spread_keys("dtedge_4ch_416", batch_tiles, p10, med, p90))

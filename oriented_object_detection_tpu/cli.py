@@ -285,16 +285,22 @@ def _convert(args):
 
         try:
             # weights_only=True refuses pickled code execution; real
-            # ultralytics .pt files wrap an nn.Module and need the
-            # fallback, which runs arbitrary pickled code — only convert
-            # checkpoints from sources you trust (the reference's Google
-            # Drive links, README.md:183-188)
+            # ultralytics .pt files wrap an nn.Module and genuinely need
+            # full unpickling, which runs arbitrary code from the file —
+            # that fallback is gated behind an explicit flag so a
+            # malicious checkpoint cannot ride an automatic retry
             ck = torch.load(args.pt, map_location="cpu",
                             weights_only=True)
-        except Exception:
-            print("[Convert] weights_only load failed; falling back to "
-                  "full unpickling — this EXECUTES code embedded in the "
-                  "checkpoint, only proceed with trusted files")
+        except Exception as e:
+            if not args.unsafe_load:
+                raise SystemExit(
+                    f"safe (weights_only) load failed: {e}\n"
+                    "Full unpickling EXECUTES code embedded in the "
+                    "checkpoint. If you trust the file (e.g. the "
+                    "reference's published weights, README.md:183-188), "
+                    "re-run with --unsafe-load.")
+            print("[Convert] weights_only load failed; --unsafe-load "
+                  "given — full unpickling (executes checkpoint code)")
             ck = torch.load(args.pt, map_location="cpu",
                             weights_only=False)
         model = ck.get("model", ck) if isinstance(ck, dict) else ck
@@ -405,6 +411,10 @@ def main(argv=None):
     c.add_argument("--imgsz", type=int, default=416)
     c.add_argument("--force", action="store_true",
                    help="write even if some model arrays are missing")
+    c.add_argument("--unsafe-load", action="store_true",
+                   help="allow full torch unpickling when the "
+                        "weights_only load fails (EXECUTES code from "
+                        "the checkpoint; only for trusted files)")
     c.set_defaults(fn=_convert)
 
     args = p.parse_args(argv)

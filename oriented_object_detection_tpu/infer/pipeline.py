@@ -509,7 +509,17 @@ class TiledDetector:
         one forward + decode + rotated NMS, and corners mapped back to
         CROP pixel coords via (x - pad) / ratio. No tiling, no border
         filter, no merge — the raw per-crop result the engine's
-        `model(net_input)` returns."""
+        `model(net_input)` returns.
+
+        COMPILE COST: the DT-Edge channel runs on the RAW crop before
+        letterboxing (reference semantics, `Detect_OBB.py:77-85`), so
+        the program shape depends on the crop shape — each DISTINCT crop
+        shape compiles its own program (~20-90 s through this box's
+        remote-compile tunnel, then cached persistently). Feed
+        fixed-size crops when calling this in a loop; the per-shape
+        program cache is LRU-bounded to the last 8 shapes."""
+        from collections import OrderedDict
+
         from ..ops import image as IM
 
         ts = tile_size or self.cfg.scales[0].tile_size
@@ -517,9 +527,12 @@ class TiledDetector:
             raise ValueError(f"no model for tile size {ts}; have "
                              f"{sorted(self.models)}")
         conf_thr = self._conf_thr()
-        key = ("crop", ts, crop_bgr.shape,
-               self._packed.get(ts) is not None)
-        if key not in self._fns:
+        if not hasattr(self, "_crop_fns"):
+            self._crop_fns: OrderedDict = OrderedDict()
+        key = (ts, crop_bgr.shape, self._packed.get(ts) is not None)
+        if key in self._crop_fns:
+            self._crop_fns.move_to_end(key)
+        else:
             cfg = self.cfg
             model = self.models[ts]
             packed = self._packed.get(ts)
@@ -556,8 +569,10 @@ class TiledDetector:
                     dets["valid"][0][:, None].astype(jnp.float32),
                 ], axis=1)                                    # [Nd, 12]
 
-            self._fns[key] = run
-        packed = self._fns[key](
+            self._crop_fns[key] = run
+            while len(self._crop_fns) > 8:
+                self._crop_fns.popitem(last=False)
+        packed = self._crop_fns[key](
             self._params_arg(ts), jnp.asarray(crop_bgr),
             self._conf_scalar(conf_thr))
         flat = np.asarray(packed, np.float64)

@@ -134,13 +134,15 @@ def _band_radius(d0: jnp.ndarray, real_w: int) -> jnp.ndarray:
     return jnp.minimum(r + 1.0, float(W)).astype(jnp.int32)
 
 
-def _edt_pass2_rows_pallas(d0: jnp.ndarray, radius: jnp.ndarray
-                           ) -> jnp.ndarray:
+def _edt_pass2_rows_pallas(d0: jnp.ndarray, radius: jnp.ndarray,
+                           real_w: int) -> jnp.ndarray:
     """Banded shift-space Pallas TPU kernel for pass 2.
 
     d0: [N, W] vertical distances (rows flattened); radius: int32 [N//8]
-    per-strip band radii from `_band_radius`. Returns squared distances
-    [N, W]. W must be a multiple of 128, N of 8.
+    per-strip band radii from `_band_radius`; real_w: count of real
+    (non-INF-pad) columns, used to mask pads out of the early-exit max.
+    Returns squared distances [N, W]. W must be a multiple of 128, N
+    of 8.
 
     One grid cell per 8-row strip. A dynamic-bound fori_loop scans
     offsets delta in [-R, R] with a dynamic CIRCULAR lane roll
@@ -165,13 +167,18 @@ def _edt_pass2_rows_pallas(d0: jnp.ndarray, radius: jnp.ndarray
         out_ref[...] = fsq                      # delta = 0 candidate
 
         # scan outward (0, +1, -1, +2, -2, ...) and stop as soon as
-        # delta^2 exceeds the strip's current max: no remaining offset
-        # can improve any pixel then. This shrinks the scan from the
-        # sqrt(2)-loose L1 radius bound toward the strip's TRUE max
-        # distance (a stale max only over-scans, never under-scans).
-        # The max-reduce is refreshed only every 16 offsets — feeding it
-        # into every cond serializes the loop and doubled the runtime on
+        # delta^2 exceeds the strip's current max over REAL columns: no
+        # remaining offset can improve any real pixel then. This shrinks
+        # the scan from the sqrt(2)-loose L1 radius bound toward the
+        # strip's TRUE max distance (a stale max only over-scans, never
+        # under-scans). The INF-padded columns are masked out of the max
+        # — their outputs converge to >= (pad width)^2, which kept the
+        # exit from ever firing on non-x128 widths (416 -> 512 pad). The
+        # max-reduce is refreshed only every 16 offsets — feeding it into
+        # every cond serializes the loop and doubled the runtime on
         # large-radius strips.
+        real = jidx < real_w                    # [1, W]
+
         def mag(i):
             return (i + 1) // 2
 
@@ -191,11 +198,12 @@ def _edt_pass2_rows_pallas(d0: jnp.ndarray, radius: jnp.ndarray
             out_ref[...] = jnp.minimum(out_ref[...], cand)
             maxout = jax.lax.cond(
                 (i + 1) % 16 == 0,
-                lambda: jnp.max(out_ref[...]),
+                lambda: jnp.max(jnp.where(real, out_ref[...], 0.0)),
                 lambda: maxout)
             return i + 1, maxout
 
-        jax.lax.while_loop(cond, body, (1, jnp.max(fsq)))
+        jax.lax.while_loop(
+            cond, body, (1, jnp.max(jnp.where(real, fsq, 0.0))))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -233,7 +241,7 @@ def edt_l2(edge_mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
         flat = jnp.pad(flat, ((0, 0), (0, Wp - W)), constant_values=_INF)
         flat = jnp.pad(flat, ((0, Np - flat.shape[0]), (0, 0)),
                        constant_values=0.0)
-        sq = _edt_pass2_rows_pallas(flat, _band_radius(flat, W))[
+        sq = _edt_pass2_rows_pallas(flat, _band_radius(flat, W), W)[
             : int(np.prod(lead, dtype=np.int64)) * H, :W]
         sq = sq.reshape(*lead, H, W)
     else:

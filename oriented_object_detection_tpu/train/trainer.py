@@ -258,10 +258,15 @@ def warm_start_state(path: str, state: TrainState) -> TrainState:
     from a (typically converted, `oodt convert`) checkpoint into a fresh
     state WITHOUT touching step/schedule/optimizer — the engine's
     YOLO("yolo11x-obb.pt") pretrained start (`Train_OBB.py:792`), as
-    opposed to --resume which continues an interrupted run. EMA starts
-    from the loaded params like the engine re-seeds EMA at train start."""
+    opposed to --resume which continues an interrupted run. The EMA
+    weights are preferred when the checkpoint has them (a best.ckpt's
+    "best" model IS its EMA, matching the engine's best.pt and our own
+    inference default); EMA then re-seeds from the loaded params like
+    the engine does at train start."""
     ck = load_checkpoint(path)
-    params = jax.tree.map(jnp.asarray, ck["params"])
+    src = ck["ema_params"] if ck.get("ema_params") is not None \
+        else ck["params"]
+    params = jax.tree.map(jnp.asarray, src)
     return state.replace(
         params=params,
         batch_stats=jax.tree.map(jnp.asarray, ck["batch_stats"]),

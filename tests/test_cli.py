@@ -65,11 +65,25 @@ def test_detect_batch_mode(data_root, tmp_path, monkeypatch):
     cli.main([
         "detect", "--input", str(data_root / "images" / "val"),
         "--output", out_dir, "--ckpt416", "missing.ckpt",
-        "--scale", "n", "--batch",
+        "--scale", "n", "--batch", "--allow-random",
     ])
     outs = os.listdir(out_dir)
     assert sum(f.endswith("_detected.jpg") for f in outs) == 2
     assert sum(f.endswith(".xlsx") for f in outs) == 2
+
+
+def test_detect_missing_named_checkpoint_errors(data_root, tmp_path,
+                                                monkeypatch):
+    """A named-but-nonexistent checkpoint must error instead of silently
+    degrading to random weights (ADVICE r02); --allow-random opts out
+    (previous test)."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit):
+        cli.main([
+            "detect", "--input", str(data_root / "images" / "val"),
+            "--output", str(tmp_path / "oute"),
+            "--ckpt416", "typo.ckpt", "--scale", "n",
+        ])
 
 
 class TestConvert:

@@ -244,8 +244,10 @@ class TestDataParallel:
             cfg, jax.random.PRNGKey(2), steps_per_epoch=5, model=model)
         warm = TR.warm_start_state(p, fresh)
         assert int(warm.step) == 0
+        # the checkpoint's EMA weights are the warm-start source (the
+        # engine's best.pt IS the EMA model)
         for a, b in zip(jax.tree.leaves(warm.params),
-                        jax.tree.leaves(donor.params)):
+                        jax.tree.leaves(donor.ema_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         # EMA re-seeded from loaded params, not the donor's EMA
         for a, b in zip(jax.tree.leaves(warm.ema_params),

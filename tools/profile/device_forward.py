@@ -18,7 +18,13 @@ End-to-end wall ~230 ms => ~175 ms is tunnel RPC overhead, not device
 work. The big-map metric amortizes it; the golden metric is
 latency-bound by construction.
 
-Usage: python tools/profile/device_forward.py
+r03 addition: --channels 4 profiles the 4ch DT-Edge single-scale 416
+config (in-graph banded Pallas EDT). r03 finding: the 4ch program is
+forward-bound — the x-scale 416 conv stack dominates (HBM-bound, see
+above), with the whole DT-Edge channel (Scharr + bit-search percentiles
++ banded EDT + blend) ~1.1 ms/tile after the r03 kernel work.
+
+Usage: python tools/profile/device_forward.py [--channels 4]
 """
 import sys
 import time
@@ -29,6 +35,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -41,8 +49,16 @@ def main():
     from oriented_object_detection_tpu.config import (DetectConfig,
                                                       ScaleConfig)
 
-    cfg = DetectConfig(
-        scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)), channels=3)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=3, choices=(3, 4))
+    args = ap.parse_args()
+
+    if args.channels == 4:
+        cfg = DetectConfig(scales=(ScaleConfig(416, 100),), channels=4)
+    else:
+        cfg = DetectConfig(
+            scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)),
+            channels=3)
     det, _ = _build_detector(cfg, calibrate=False)
 
     rng = np.random.RandomState(0)
