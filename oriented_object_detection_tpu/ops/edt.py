@@ -64,6 +64,64 @@ def _edt_pass1_columns(edge: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
+def _edt_pass1_columns_pallas(edge_i32: jnp.ndarray) -> jnp.ndarray:
+    """Pallas pass 1: same log-step doubling as `_edt_pass1_columns`,
+    but each (image, 128-column block) runs entirely in VMEM with static
+    SUBLANE rolls — the XLA version materializes ~6 full-array HBM
+    traversals per round x ceil(log2 H) rounds (measured 7 ms of the
+    10 ms total 4096^2 EDT; ~1 ms here).
+
+    edge_i32: [B, H, W] int32 (nonzero = edge; int32 because Mosaic
+    supports neither u8->f32 casts nor i1 vector relayouts here).
+    Returns float32 [B, H, W] vertical distances capped at _INF. H
+    capped by VMEM (~2 MB per 128-col block at 4096); callers fall back
+    to XLA beyond."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W = edge_i32.shape
+    CB = 128
+
+    def kernel(e_ref, out_ref):
+        # everything in float arithmetic: bool (i1) vectors trip Mosaic
+        # relayout errors here ("non-singleton logical dimension is
+        # replicated in destination"), so the seed map and the circular
+        # wrap masks are built from min/max/clamp instead of compares
+        e = jnp.minimum(e_ref[0], 1)                     # i32: 0 or 1
+        d = (1 - e).astype(jnp.float32) * _INF
+        # int iota + cast: Mosaic cannot lower a float iota directly
+        fi = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) \
+            .astype(jnp.float32)
+        s = 1
+        while s < H:
+            # static roll requires a non-negative shift: -s mod H
+            up = pltpu.roll(d, H - s, 0)     # row i <- d[(i+s) % H]
+            down = pltpu.roll(d, s, 0)       # row i <- d[(i-s) % H]
+            # wrap masks: rows whose source wrapped get +INF
+            m_up = jnp.clip(fi - float(H - s - 1), 0.0, 1.0) * _INF
+            m_dn = jnp.clip(float(s) - fi, 0.0, 1.0) * _INF
+            up = up + float(s) + m_up
+            down = down + float(s) + m_dn
+            d = jnp.minimum(d, jnp.minimum(up, down))
+            s *= 2
+        out_ref[0] = jnp.minimum(d, _INF)
+
+    grid = (B, pl.cdiv(W, CB))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, H, CB), lambda b, c: (b, 0, c))],
+        out_specs=pl.BlockSpec((1, H, CB), lambda b, c: (b, 0, c)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+    )(edge_i32)
+
+
+# H beyond this would blow the per-block VMEM budget of the Pallas
+# pass-1 kernel (a few f32 [H, 128] live values); taller images use the
+# XLA doubling
+_PASS1_PALLAS_MAX_H = 8192
+
+
 def _edt_pass2_rows_xla(d0: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
     """Min-plus against parabolas, chunked over output columns (pure XLA).
 
@@ -229,9 +287,14 @@ def edt_l2(edge_mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     edge_mask: [..., H, W] bool. Pixels where the mask is True get 0.
     Matches scipy.ndimage.distance_transform_edt(~edge_mask).
     """
-    d0 = _edt_pass1_columns(edge_mask)
     if use_pallas:
-        *lead, H, W = d0.shape
+        *lead, H, W = edge_mask.shape
+        if H <= _PASS1_PALLAS_MAX_H:
+            d0 = _edt_pass1_columns_pallas(
+                edge_mask.astype(jnp.int32).reshape(-1, H, W)
+            ).reshape(*edge_mask.shape)
+        else:
+            d0 = _edt_pass1_columns(edge_mask)
         Np = _round_up(int(np.prod(lead, dtype=np.int64)) * H, 8)
         Wp = _round_up(W, 128)
         flat = d0.reshape(-1, W)
@@ -245,5 +308,5 @@ def edt_l2(edge_mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
             : int(np.prod(lead, dtype=np.int64)) * H, :W]
         sq = sq.reshape(*lead, H, W)
     else:
-        sq = _edt_pass2_rows_xla(d0)
+        sq = _edt_pass2_rows_xla(_edt_pass1_columns(edge_mask))
     return jnp.sqrt(jnp.minimum(sq, _INF ** 2))
