@@ -140,6 +140,62 @@ def compute_pr_for_class(dets: list, gts: dict, iou_lookup, iou_thr: float):
             npos - int(tp_c[-1]))
 
 
+def compute_pr_for_class_multi(dets: list, gts: dict, iou_lookup,
+                               iou_list) -> list:
+    """`compute_pr_for_class` for EVERY IoU threshold in one pass.
+
+    Each threshold's greedy matching state is independent, so one walk
+    over the conf-ordered detections can evolve all T matched-masks
+    side by side with [T, M] numpy ops — identical results to T separate
+    walks (tested), ~T x fewer Python iterations. At the reference's
+    dataset scale the per-threshold walk dominated evaluate_map
+    (35 s of a 53 s sweep on 100 maps x ~190k wide detections).
+
+    Returns a list of (precision, recall, ap, TP, FP, FN) per threshold,
+    ordered like `iou_list`."""
+    T = len(iou_list)
+    thr = np.asarray(iou_list, dtype=float)
+    npos = sum(len(v) for v in gts.values())
+    if npos == 0:
+        return [(np.array([0.0]), np.array([0.0]), 0.0, 0, 0, 0)] * T
+    if not dets:
+        return [(np.array([0.0]), np.array([0.0]), 0.0, 0, 0, npos)] * T
+
+    order = sorted(range(len(dets)), key=lambda i: -dets[i][2])
+    tp = np.zeros((T, len(dets)))
+    matched = {img: np.zeros((T, len(v)), dtype=bool)
+               for img, v in gts.items()}
+    gt_rows_np = {img: np.asarray(v, dtype=int) for img, v in gts.items()}
+    t_idx = np.arange(T)
+
+    for rank, di in enumerate(order):
+        img, det_idx, _ = dets[di]
+        rows = gt_rows_np.get(img)
+        if rows is None or not len(rows):
+            continue
+        iou_row = iou_lookup(img)[det_idx, rows]          # [M]
+        m = matched[img]                                  # [T, M]
+        # same greedy rule as the scalar path: best UNUSED gt by IoU
+        # (zero-IoU never selected), TP iff best >= threshold
+        cand = np.where(m, 0.0, iou_row[None, :])
+        j = cand.argmax(axis=1)                           # [T]
+        best = cand[t_idx, j]
+        ok = (best > 0.0) & (best >= thr)
+        m[ok, j[ok]] = True
+        tp[ok, rank] = 1
+
+    out = []
+    for t in range(T):
+        tp_c = np.cumsum(tp[t])
+        fp_c = np.cumsum(1.0 - tp[t])
+        recall = tp_c / (npos + 1e-9)
+        precision = tp_c / (tp_c + fp_c + 1e-9)
+        ap = compute_ap_from_pr(recall, precision)
+        out.append((precision, recall, ap, int(tp_c[-1]), int(fp_c[-1]),
+                    npos - int(tp_c[-1])))
+    return out
+
+
 def evaluate_map(dets_per_image: dict, all_images: Iterable[str],
                  iou_list, cache: GTCache,
                  map_min_score: float = 0.001) -> dict:
@@ -180,15 +236,17 @@ def evaluate_map(dets_per_image: dict, all_images: Iterable[str],
     def lookup(img):
         return cache.iou(arrs[img], img)
 
-    per_iou = {}
-    for iou_thr in iou_list:
-        aps = []
-        for cid in class_ids:
-            _, _, ap, *_ = compute_pr_for_class(
-                per_class_dets[cid], per_class_gts[cid], lookup, iou_thr)
-            aps.append(ap)
-        per_iou[round(float(iou_thr), 2)] = (float(np.mean(aps))
-                                             if aps else 0.0)
+    aps_by_iou = [[] for _ in iou_list]
+    for cid in class_ids:
+        per_thr = compute_pr_for_class_multi(
+            per_class_dets[cid], per_class_gts[cid], lookup, iou_list)
+        for t, (_, _, ap, *_rest) in enumerate(per_thr):
+            aps_by_iou[t].append(ap)
+    per_iou = {
+        round(float(iou_thr), 2): (float(np.mean(aps_by_iou[t]))
+                                   if aps_by_iou[t] else 0.0)
+        for t, iou_thr in enumerate(iou_list)
+    }
 
     ious = [round(float(i), 2) for i in iou_list]
     return {

@@ -180,3 +180,56 @@ class TestFullEval:
         assert res["precision"] == pytest.approx(1.0, abs=1e-6)
         assert res["mAP@0.5"] == pytest.approx(1.0, abs=1e-6)
         assert (tmp_path / "fusion_classwise_metrics.xlsx").exists()
+
+
+class TestMultiThresholdPR:
+    def test_multi_equals_scalar_per_threshold(self):
+        """compute_pr_for_class_multi must equal T independent
+        compute_pr_for_class runs exactly (same greedy state evolution
+        per threshold)."""
+        from oriented_object_detection_tpu.eval.metrics import (
+            compute_pr_for_class, compute_pr_for_class_multi)
+
+        rng = np.random.RandomState(0)
+        imgs = [f"im{k}" for k in range(6)]
+        gts = {im: list(range(rng.randint(0, 7))) for im in imgs}
+        ious = {im: rng.rand(12, max(len(g), 1)) * 0.9
+                for im, g in gts.items()}
+        dets = []
+        for im in imgs:
+            for d in range(rng.randint(0, 12)):
+                dets.append((im, d, float(rng.rand())))
+        # duplicate scores exercise the sort tie order
+        if len(dets) > 3:
+            dets[1] = (dets[1][0], dets[1][1], dets[0][2])
+
+        def lookup(im):
+            return ious[im]
+
+        iou_list = [0.1, 0.25, 0.5, 0.75, 0.9]
+        multi = compute_pr_for_class_multi(dets, gts, lookup, iou_list)
+        for t, thr in enumerate(iou_list):
+            single = compute_pr_for_class(dets, gts, lookup, thr)
+            np.testing.assert_allclose(multi[t][0], single[0])  # prec
+            np.testing.assert_allclose(multi[t][1], single[1])  # rec
+            assert multi[t][2] == single[2]                     # ap
+            assert multi[t][3:] == single[3:]                   # TP/FP/FN
+
+    def test_multi_empty_edges(self):
+        from oriented_object_detection_tpu.eval.metrics import (
+            compute_pr_for_class_multi)
+
+        out = compute_pr_for_class_multi([], {"a": [0, 1]}, None,
+                                         [0.5, 0.7])
+        assert out[0][5] == 2 and out[1][5] == 2  # FN = npos
+        # npos == 0 short-circuits to the zero result, exactly like the
+        # scalar path (`Detect_OBB.py:512-517` returns before scanning)
+        from oriented_object_detection_tpu.eval.metrics import (
+            compute_pr_for_class)
+
+        multi = compute_pr_for_class_multi(
+            [("a", 0, 0.9)], {"a": []}, lambda im: np.zeros((1, 0)),
+            [0.5])
+        single = compute_pr_for_class(
+            [("a", 0, 0.9)], {"a": []}, lambda im: np.zeros((1, 0)), 0.5)
+        assert multi[0][2:] == single[2:]
