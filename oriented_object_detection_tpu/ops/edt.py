@@ -116,10 +116,12 @@ def _edt_pass1_columns_pallas(edge_i32: jnp.ndarray) -> jnp.ndarray:
     )(edge_i32)
 
 
-# H beyond this would blow the per-block VMEM budget of the Pallas
-# pass-1 kernel (a few f32 [H, 128] live values); taller images use the
-# XLA doubling
-_PASS1_PALLAS_MAX_H = 8192
+# H beyond this blows the 16 MB scoped-VMEM budget of the Pallas pass-1
+# kernel (the unrolled log2(H) rounds keep ~5 [H, 128] f32 temporaries
+# live, plus the pipeline's double buffers: H=4096 measured 20 MB and
+# failed to compile); taller images fall back to the XLA doubling
+# (~7 ms at 4096^2 — minor next to that shape's pass 2 + percentiles)
+_PASS1_PALLAS_MAX_H = 2048
 
 
 def _edt_pass2_rows_xla(d0: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
