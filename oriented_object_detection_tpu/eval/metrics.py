@@ -99,45 +99,13 @@ def compute_pr_for_class(dets: list, gts: dict, iou_lookup, iou_thr: float):
 
     dets: list of (image_path, det_index, score); gts: {img: [M_c] gt row
     indices}; iou_lookup(img) -> full [N_det, N_gt] matrix for that image.
-    Returns (precision, recall, ap, TP, FP, FN)."""
-    npos = sum(len(v) for v in gts.values())
-    if npos == 0:
-        return np.array([0.0]), np.array([0.0]), 0.0, 0, 0, 0
-    if not dets:
-        return np.array([0.0]), np.array([0.0]), 0.0, 0, 0, npos
-
-    order = sorted(range(len(dets)), key=lambda i: -dets[i][2])
-    tp = np.zeros(len(dets))
-    fp = np.zeros(len(dets))
-    matched = {img: np.zeros(len(v), dtype=bool) for img, v in gts.items()}
-    gt_rows_np = {img: np.asarray(v, dtype=int) for img, v in gts.items()}
-
-    for rank, di in enumerate(order):
-        img, det_idx, _ = dets[di]
-        rows = gt_rows_np.get(img)
-        best_iou, best_j = 0.0, -1
-        if rows is not None and len(rows):
-            # greedy best-unused same-class GT; the reference scans with a
-            # strict `iou > best` from 0.0 (first maximal index wins,
-            # zero-IoU GTs never selected) — argmax over the masked row
-            # reproduces that exactly
-            cand = np.where(matched[img], 0.0,
-                            iou_lookup(img)[det_idx, rows])
-            j = int(np.argmax(cand))
-            if cand[j] > 0.0:
-                best_iou, best_j = float(cand[j]), j
-        if best_iou >= iou_thr and best_j >= 0:
-            tp[rank] = 1
-            matched[img][best_j] = True
-        else:
-            fp[rank] = 1
-
-    tp_c, fp_c = np.cumsum(tp), np.cumsum(fp)
-    recall = tp_c / (npos + 1e-9)
-    precision = tp_c / (tp_c + fp_c + 1e-9)
-    ap = compute_ap_from_pr(recall, precision)
-    return (precision, recall, ap, int(tp_c[-1]), int(fp_c[-1]),
-            npos - int(tp_c[-1]))
+    Returns (precision, recall, ap, TP, FP, FN). Thin wrapper over the
+    T-threshold walk (`compute_pr_for_class_multi`) so the reference's
+    greedy matching rule lives in exactly one place (the equality test
+    `test_metrics.py::test_multi_equals_scalar_per_threshold` pinned the
+    two paths
+    bit-identical before the merge)."""
+    return compute_pr_for_class_multi(dets, gts, iou_lookup, [iou_thr])[0]
 
 
 def compute_pr_for_class_multi(dets: list, gts: dict, iou_lookup,

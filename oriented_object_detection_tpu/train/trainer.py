@@ -253,7 +253,8 @@ def restore_train_state(path: str, state: TrainState) -> TrainState:
     )
 
 
-def warm_start_state(path: str, state: TrainState) -> TrainState:
+def warm_start_state(path: str, state: TrainState,
+                     expect: dict | None = None) -> TrainState:
     """Warm start (`oodt train --init-ckpt`): load params/batch_stats
     from a (typically converted, `oodt convert`) checkpoint into a fresh
     state WITHOUT touching step/schedule/optimizer — the engine's
@@ -264,6 +265,21 @@ def warm_start_state(path: str, state: TrainState) -> TrainState:
     inference default); EMA then re-seeds from the loaded params like
     the engine does at train start."""
     ck = load_checkpoint(path)
+    # Fail FAST on architecture mismatch: a wrong-scale/-channels init
+    # ckpt would otherwise die minutes later inside the first jitted
+    # train step with an opaque tree/shape error. Only keys recorded in
+    # the ckpt AND requested by the caller are compared (tile_size is
+    # deliberately not: params are size-agnostic, cross-size warm starts
+    # are legitimate backbone transfer).
+    if expect:
+        extra = ck.get("extra") or {}
+        for k, want in expect.items():
+            have = extra.get(k)
+            if have is not None and have != want:
+                raise SystemExit(
+                    f"--init-ckpt {path}: checkpoint was saved with "
+                    f"{k}={have!r} but this run uses {k}={want!r}; "
+                    f"convert/choose a matching checkpoint")
     src = ck["ema_params"] if ck.get("ema_params") is not None \
         else ck["params"]
     params = jax.tree.map(jnp.asarray, src)
@@ -301,7 +317,8 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
     elif init_ckpt:
         if not os.path.exists(init_ckpt):
             raise FileNotFoundError(f"--init-ckpt {init_ckpt} not found")
-        state = warm_start_state(init_ckpt, state)
+        state = warm_start_state(init_ckpt, state, expect={
+            "model_scale": cfg.model_scale, "channels": cfg.channels})
         print(f"[WarmStart] params/EMA initialized from {init_ckpt}")
 
     from ..utils.plots import ResultsWriter

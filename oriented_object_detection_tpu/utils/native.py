@@ -45,8 +45,12 @@ def _load():
     except Exception as e:
         if not os.path.exists(so):
             return None
+        import sys
+
+        # stderr: bench.py/detect stdout is a machine-readable contract
         print(f"[native] rebuild failed ({e!r}); using the EXISTING "
-              f"{so} — it may predate local geom.cpp edits")
+              f"{so} — it may predate local geom.cpp edits",
+              file=sys.stderr)
     try:
         lib = ctypes.CDLL(so)
     except OSError:

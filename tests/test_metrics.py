@@ -183,10 +183,50 @@ class TestFullEval:
 
 
 class TestMultiThresholdPR:
+    @staticmethod
+    def _scalar_mirror(dets, gts, iou_lookup, iou_thr):
+        """Literal mirror of the single-threshold greedy PR walk
+        (`Detect_OBB.py:512-565`) as an independent oracle — the
+        production scalar path now delegates to the multi-threshold
+        walk, so this pin must not."""
+        from oriented_object_detection_tpu.eval.metrics import (
+            compute_ap_from_pr)
+
+        npos = sum(len(v) for v in gts.values())
+        if npos == 0:
+            return np.array([0.0]), np.array([0.0]), 0.0, 0, 0, 0
+        if not dets:
+            return np.array([0.0]), np.array([0.0]), 0.0, 0, 0, npos
+        order = sorted(range(len(dets)), key=lambda i: -dets[i][2])
+        tp = np.zeros(len(dets))
+        fp = np.zeros(len(dets))
+        matched = {im: np.zeros(len(v), bool) for im, v in gts.items()}
+        for rank, di in enumerate(order):
+            im, det_idx, _ = dets[di]
+            rows = np.asarray(gts.get(im, []), int)
+            best_iou, best_j = 0.0, -1
+            if len(rows):
+                cand = np.where(matched[im], 0.0,
+                                iou_lookup(im)[det_idx, rows])
+                j = int(np.argmax(cand))
+                if cand[j] > 0.0:
+                    best_iou, best_j = float(cand[j]), j
+            if best_iou >= iou_thr and best_j >= 0:
+                tp[rank] = 1
+                matched[im][best_j] = True
+            else:
+                fp[rank] = 1
+        tp_c, fp_c = np.cumsum(tp), np.cumsum(fp)
+        recall = tp_c / (npos + 1e-9)
+        precision = tp_c / (tp_c + fp_c + 1e-9)
+        ap = compute_ap_from_pr(recall, precision)
+        return (precision, recall, ap, int(tp_c[-1]), int(fp_c[-1]),
+                npos - int(tp_c[-1]))
+
     def test_multi_equals_scalar_per_threshold(self):
-        """compute_pr_for_class_multi must equal T independent
-        compute_pr_for_class runs exactly (same greedy state evolution
-        per threshold)."""
+        """compute_pr_for_class_multi (and the delegating
+        compute_pr_for_class) must equal T independent scalar-mirror
+        runs exactly (same greedy state evolution per threshold)."""
         from oriented_object_detection_tpu.eval.metrics import (
             compute_pr_for_class, compute_pr_for_class_multi)
 
@@ -209,11 +249,13 @@ class TestMultiThresholdPR:
         iou_list = [0.1, 0.25, 0.5, 0.75, 0.9]
         multi = compute_pr_for_class_multi(dets, gts, lookup, iou_list)
         for t, thr in enumerate(iou_list):
+            oracle = self._scalar_mirror(dets, gts, lookup, thr)
             single = compute_pr_for_class(dets, gts, lookup, thr)
-            np.testing.assert_allclose(multi[t][0], single[0])  # prec
-            np.testing.assert_allclose(multi[t][1], single[1])  # rec
-            assert multi[t][2] == single[2]                     # ap
-            assert multi[t][3:] == single[3:]                   # TP/FP/FN
+            for got in (multi[t], single):
+                np.testing.assert_allclose(got[0], oracle[0])  # prec
+                np.testing.assert_allclose(got[1], oracle[1])  # rec
+                assert got[2] == oracle[2]                     # ap
+                assert got[3:] == oracle[3:]                   # TP/FP/FN
 
     def test_multi_empty_edges(self):
         from oriented_object_detection_tpu.eval.metrics import (

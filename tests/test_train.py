@@ -256,6 +256,28 @@ class TestDataParallel:
         for l in jax.tree.leaves(warm.opt_state):
             assert float(np.abs(np.asarray(l)).max()) == 0.0
 
+    def test_warm_start_rejects_architecture_mismatch(self, tmp_path):
+        """--init-ckpt fails fast with a clear message when the ckpt's
+        recorded model_scale/channels disagree with the run config
+        (instead of an opaque tree/shape error inside the first jitted
+        step); matching or unrecorded metadata passes."""
+        import pytest
+
+        cfg = TrainConfig(tile_size=32, model_scale="n",
+                          compute_dtype="float32")
+        _, donor, _ = TR.create_train_state(
+            cfg, jax.random.PRNGKey(1), steps_per_epoch=5)
+        p = str(tmp_path / "init.ckpt")
+        TR.save_checkpoint(p, donor, {"model_scale": "x", "channels": 4})
+        with pytest.raises(SystemExit, match="model_scale"):
+            TR.warm_start_state(p, donor, expect={"model_scale": "n"})
+        with pytest.raises(SystemExit, match="channels"):
+            TR.warm_start_state(p, donor, expect={"channels": 3})
+        # matching metadata and keys absent from the ckpt both pass
+        TR.warm_start_state(p, donor, expect={"model_scale": "x",
+                                              "channels": 4})
+        TR.warm_start_state(p, donor, expect={"tile_size_unused": 99})
+
 
 class TestCloseMosaic:
     def test_mosaic_p_for_epoch_engine_semantics(self):

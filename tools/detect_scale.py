@@ -89,7 +89,14 @@ def main(argv=None):
     t0 = time.time()
     for s in range(0, len(maps), args.chunk):
         chunk = maps[s:s + args.chunk]
-        results = det.detect_images([im for _, im in chunk])
+        # pad a short final chunk to the full chunk shape (image list
+        # length is part of the jit key — a smaller last chunk would
+        # trigger a fresh ~20-90 s tunnel compile inside the timed loop;
+        # tile validity masking makes the padded results discardable)
+        imgs = [im for _, im in chunk]
+        while len(imgs) < args.chunk:
+            imgs.append(imgs[-1])
+        results = det.detect_images(imgs)[:len(chunk)]
         for (name, _), res in zip(chunk, results):
             dets_pr[name] = res["merged_for_pr"]
             dets_map[name] = res["merged_for_map"]
