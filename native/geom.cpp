@@ -186,4 +186,26 @@ int greedy_nms(const double* dets, int n, double iou_thr, int* keep_out) {
     return kept;
 }
 
+// Grouped greedy NMS: dets [n,11] with group_ids [n] in CONTIGUOUS runs
+// (caller sorts by group id; conf-descending within a group is preserved
+// because the per-group sort is stable). Runs greedy_nms independently
+// per run and writes kept GLOBAL indices, group order then conf-desc
+// within group. Returns total kept. One ctypes call replaces a Python
+// loop over thousands of per-tile merges (infer/pipeline.py).
+int greedy_nms_grouped(const double* dets, const int* group_ids, int n,
+                       double iou_thr, int* keep_out) {
+    int total = 0;
+    int start = 0;
+    while (start < n) {
+        int end = start + 1;
+        while (end < n && group_ids[end] == group_ids[start]) ++end;
+        int kept = greedy_nms(dets + 11 * start, end - start, iou_thr,
+                              keep_out + total);
+        for (int k = 0; k < kept; ++k) keep_out[total + k] += start;
+        total += kept;
+        start = end;
+    }
+    return total;
+}
+
 }  // extern "C"

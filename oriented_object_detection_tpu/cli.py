@@ -104,9 +104,7 @@ def _detect(args):
     names = [f for f in sorted(os.listdir(args.input))
              if f.lower().endswith(
                  (".jpg", ".png", ".jpeg", ".tif", ".tiff"))]
-    if args.batch:
-        # scale-grouped batching: one device program per scale covers
-        # every image (fastest path; per-image timing not meaningful)
+    if args.batch or args.stream:
         import cv2 as _cv2
 
         from .infer.pipeline import (draw_detections, export_xlsx)
@@ -114,7 +112,17 @@ def _detect(args):
         paths = [os.path.join(args.input, f) for f in names]
         imgs = [_cv2.imread(p) for p in paths]
         ok = [(p, im) for p, im in zip(paths, imgs) if im is not None]
-        results = det.detect_images([im for _, im in ok])
+        if args.stream:
+            # pipelined: map k+1's H2D transfer (throttled ~35 MB/s on
+            # this box) rides under map k's compute+fetch, and outputs
+            # are written per map as they complete — the fast path for
+            # LARGE maps (see TiledDetector.detect_stream)
+            results = det.detect_stream([im for _, im in ok])
+        else:
+            # scale-grouped batching: one device program per scale
+            # covers every image — the fast path for MANY SMALL maps
+            # (amortizes the fixed per-program tunnel RPC)
+            results = det.detect_images([im for _, im in ok])
         for (p, im), res in zip(ok, results):
             stem = os.path.splitext(os.path.basename(p))[0]
             merged = res["merged_for_pr"]
@@ -360,7 +368,12 @@ def main(argv=None):
     d.add_argument("--scale", default="x")
     d.add_argument("--metrics", action="store_true")
     d.add_argument("--batch", action="store_true",
-                   help="batch all input images per scale (fastest)")
+                   help="batch all input images per scale (fastest for "
+                        "many small maps)")
+    d.add_argument("--stream", action="store_true",
+                   help="pipelined per-map detection: the next map's "
+                        "host->device transfer overlaps the current "
+                        "map's compute (fastest for large maps)")
     # the remaining Detect_OBB.py constants (`:33-40`)
     d.add_argument("--merge-iou", type=float, default=0.4,
                    help="merge NMS IoU (reference iou_threshold)")

@@ -388,10 +388,23 @@ class TiledDetector:
             return np.zeros((0, F.DET_WIDTH), np.float64)
         order = np.lexsort((-flat[:, 9], flat[:, 12]))
         flat = flat[order]
-        rows = []
-        for tid in np.unique(flat[:, 12]):
-            dets_t = flat[flat[:, 12] == tid][:, :11]
-            rows.append(F.merge_detections(dets_t, merge_iou))
+        from ..utils import native
+
+        # one native call runs every tile's greedy merge (a Python loop
+        # over ~2k tile groups cost ~0.5 s/map on the detect_stream
+        # critical path); rows are (tile asc, conf desc) so groups are
+        # contiguous and already conf-ordered
+        keep = native.greedy_nms_grouped(
+            np.ascontiguousarray(flat[:, :11]),
+            flat[:, 12].astype(np.int32), merge_iou)
+        if keep is not None:
+            return np.ascontiguousarray(flat[keep][:, :11])
+        # fallback: contiguous-slice per-tile merge (device IoU path)
+        _, starts = np.unique(flat[:, 12], return_index=True)
+        bounds = np.append(starts, len(flat))
+        rows = [F.merge_detections(flat[bounds[k]:bounds[k + 1], :11],
+                                   merge_iou)
+                for k in range(len(starts))]
         return (np.concatenate(rows) if rows
                 else np.zeros((0, F.DET_WIDTH), np.float64))
 
@@ -449,6 +462,58 @@ class TiledDetector:
                 else jnp.concatenate(arrays)
             flat_all = np.asarray(joined, np.float64)
         return self._split_and_finalize(flat_all, order, len(images_bgr))
+
+    def detect_stream(self, images_bgr):
+        """Pipelined multi-map detection (generator of per-image result
+        dicts, same shape as `detect_image`).
+
+        `detect_images` uploads every image FIRST, then dispatches — on
+        this box's permanently throttled ~35 MB/s H2D link a 4096^2 map
+        costs ~1.4 s of upload serial with ~0.7 s of compute+fetch. The
+        tunnel overlaps an H2D transfer with compute/D2H *enqueued
+        before it*, but a program enqueued AFTER a pending transfer
+        waits for the transfer (measured: tools/profile/h2d_overlap.py —
+        compute->put 1.76 s ≈ max, put->compute 2.86 s ≈ serial+). So
+        the pipeline order per map k is:
+
+            dispatch k's per-scale programs + the joining concat
+            -> enqueue map k+1's H2D (hides under k's compute + fetch)
+            -> ONE D2H fetch of k -> host merge/fusion -> yield k
+
+        Steady-state wall per map = max(H2D, compute + fetch) instead of
+        their sum. Results are identical to `detect_images` per image
+        (each image gets its own per-scale programs; a shape change only
+        costs the usual per-shape compile)."""
+        images_bgr = list(images_bgr)
+        if not images_bgr:
+            return
+
+        def dispatch(img_dev):
+            pending = {
+                sc.tile_size: self._dispatch_scale_multi([img_dev], sc)
+                for sc in self.cfg.scales
+            }
+            order = [(ts, packed.shape[0], segments)
+                     for ts, (packed, segments) in pending.items()]
+            arrays = [p for _, (p, _) in pending.items()]
+            # join on device NOW: enqueued after the next upload it
+            # would stall behind ~1.4 s of transfer (put->compute rule)
+            joined = arrays[0] if len(arrays) == 1 \
+                else jnp.concatenate(arrays)
+            return joined, order
+
+        cur_dev = jnp.asarray(images_bgr[0])
+        cur = dispatch(cur_dev)
+        for nxt in images_bgr[1:]:
+            nxt_dev = jax.device_put(np.asarray(nxt)) \
+                if not isinstance(nxt, jax.Array) else nxt
+            joined, order = cur
+            flat_all = np.asarray(joined, np.float64)   # one D2H fetch
+            yield self._split_and_finalize(flat_all, order, 1)[0]
+            cur = dispatch(nxt_dev)
+        joined, order = cur
+        flat_all = np.asarray(joined, np.float64)
+        yield self._split_and_finalize(flat_all, order, 1)[0]
 
     def _split_and_finalize(self, flat_all, order, n_images: int):
         """Split the single fetched packed array into per-scale/per-image

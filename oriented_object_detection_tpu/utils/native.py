@@ -66,6 +66,10 @@ def _load():
     lib.greedy_nms.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int)]
+    lib.greedy_nms_grouped.restype = ctypes.c_int
+    lib.greedy_nms_grouped.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int)]
     _LIB = lib
     return _LIB
 
@@ -103,4 +107,23 @@ def greedy_nms(dets: np.ndarray, iou_thr: float) -> np.ndarray | None:
     cnt = lib.greedy_nms(_dp(d), len(d), float(iou_thr),
                          keep.ctypes.data_as(
                              ctypes.POINTER(ctypes.c_int)))
+    return keep[:cnt]
+
+
+def greedy_nms_grouped(dets: np.ndarray, group_ids: np.ndarray,
+                       iou_thr: float) -> np.ndarray | None:
+    """Per-group greedy class-aware NMS in ONE native call. `group_ids`
+    must be contiguous runs (rows pre-sorted by group, conf-descending
+    within each group). Returns kept indices in group order (conf-desc
+    within group), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(dets, dtype=np.float64).reshape(-1, 11)
+    g = np.ascontiguousarray(group_ids, dtype=np.int32)
+    keep = np.empty(len(d), dtype=np.int32)
+    cnt = lib.greedy_nms_grouped(
+        _dp(d), g.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(d),
+        float(iou_thr),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return keep[:cnt]

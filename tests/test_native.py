@@ -46,3 +46,37 @@ def test_greedy_nms_matches_host_merge():
     keep = native.greedy_nms(dets, 0.4)
     ref = F.merge_detections(dets, 0.4)
     np.testing.assert_allclose(dets[keep], ref, atol=1e-12)
+
+
+def test_grouped_nms_matches_per_group_loop():
+    """The single-call grouped merge (detect_stream critical path) must
+    be bit-identical to running merge_detections per tile group."""
+    from oriented_object_detection_tpu.infer import fusion as F
+
+    rng = np.random.RandomState(7)
+    parts = []
+    for tid in range(25):
+        n = rng.randint(0, 9)
+        if n == 0:
+            continue
+        c8 = random_rects(rng, n)
+        d = np.concatenate([
+            c8, rng.randint(0, 3, (n, 1)).astype(float),
+            rng.rand(n, 1), np.zeros((n, 1)),
+            np.full((n, 1), float(tid))], axis=1)
+        parts.append(d)
+    flat = np.concatenate(parts)
+    order = np.lexsort((-flat[:, 9], flat[:, 11]))
+    flat = flat[order]
+
+    keep = native.greedy_nms_grouped(
+        np.ascontiguousarray(flat[:, :11]),
+        flat[:, 11].astype(np.int32), 0.4)
+    got = flat[keep][:, :11]
+
+    rows = []
+    for tid in np.unique(flat[:, 11]):
+        rows.append(F.merge_detections(
+            flat[flat[:, 11] == tid][:, :11], 0.4))
+    ref = np.concatenate(rows)
+    np.testing.assert_array_equal(got, ref)

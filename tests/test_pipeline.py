@@ -99,6 +99,33 @@ class TestMultiImage:
                 rtol=1e-6, atol=1e-6)
 
 
+class TestDetectStream:
+    def test_stream_matches_detect_images(self):
+        """The pipelined generator must yield bit-identical per-image
+        results to detect_images (dual-scale, mixed sizes, metrics mode
+        so the wide set is compared too)."""
+        det = make_detector([(64, 16), (96, 24)], metrics=True)
+        rng = np.random.RandomState(13)
+        imgs = [rng.randint(0, 255, (100, 120, 3)).astype(np.uint8),
+                rng.randint(0, 255, (130, 100, 3)).astype(np.uint8),
+                rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)]
+        streamed = list(det.detect_stream(imgs))
+        assert len(streamed) == len(imgs)
+        for img, res in zip(imgs, streamed):
+            single = det.detect_image(img)
+            for key in ("merged_for_pr", "merged_for_map"):
+                np.testing.assert_allclose(res[key], single[key],
+                                           rtol=1e-6, atol=1e-6)
+
+    def test_stream_empty_and_single(self):
+        det = make_detector([(64, 16)])
+        assert list(det.detect_stream([])) == []
+        rng = np.random.RandomState(14)
+        img = rng.randint(0, 255, (80, 80, 3)).astype(np.uint8)
+        out = list(det.detect_stream([img]))
+        assert len(out) == 1 and out[0]["merged_for_pr"].shape[1] == 11
+
+
 class TestPackedParams:
     def test_numpy_params_match_device_params(self):
         """Checkpoint-style numpy param trees go through the packed

@@ -47,7 +47,7 @@ def main():
             return jnp.sum(x.astype(jnp.float32))
         return f
 
-    f = make_chain(48)
+    f = make_chain(int(sys.argv[1]) if len(sys.argv) > 1 else 48)
     np.asarray(f(a))  # compile + enter the throttled-H2D regime
 
     def t_upload(h):
