@@ -95,7 +95,9 @@ class DetectConfig:
     # for metrics-mode runs on dense maps if the valid count ever hits it
     max_det_per_map: int = 1024
     dt_edge: DTEdgeConfig = field(default_factory=DTEdgeConfig)
-    # None = auto: Pallas EDT kernel on TPU, chunked-XLA fallback elsewhere
+    # None = auto: pick the faster exact EDT per backend and shape
+    # (banded Pallas kernel on TPU at map-scale widths; chunked-XLA brute
+    # for tile-scale batches and on CPU — see ops/dtedge.default_use_pallas)
     use_pallas_edt: Optional[bool] = None
     compute_dtype: str = "bfloat16"
 

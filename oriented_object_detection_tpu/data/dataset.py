@@ -417,7 +417,8 @@ def convert_folder_to_4ch_tiff(src_img_dir: str, dst_img_dir: str,
             imgs = np.stack([im for _, im in chunk])
             dt = np.asarray(DTE.dt_edge_channel(
                 jnp.asarray(imgs), cfg,
-                use_pallas=DTE.default_use_pallas())).astype(np.uint8)
+                use_pallas=DTE.default_use_pallas(imgs.shape[:-1]),
+            )).astype(np.uint8)
             for (fn, im), d in zip(chunk, dt):
                 rgb = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
                 chw = np.concatenate(

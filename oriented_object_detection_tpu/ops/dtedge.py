@@ -255,13 +255,31 @@ def dt_edge_channel(bgr: jnp.ndarray, cfg: DTEdgeConfig = DTEdgeConfig(),
     return jnp.floor(out * 255.0)  # astype(np.uint8) truncates
 
 
-def default_use_pallas() -> bool:
-    """Pallas pass-2 EDT kernel on TPU; chunked-XLA fallback elsewhere
-    (the kernel targets the TPU mosaic pipeline; CPU runs use interpret
-    mode only in tests)."""
+# Measured crossover between the two exact pass-2 EDT implementations
+# (tools/profile/dtedge_isolated.py): at [128, 416, 416] the chunked-XLA
+# brute force runs 0.33 ms/tile vs 1.44 for the banded Pallas kernel —
+# per-strip grid dispatch and the while_loop don't amortize at tile
+# widths, while XLA batches the O(W^2) min-plus across B*H rows cleanly.
+# At 4096^2 the banded kernel is ~30x the brute (10 ms vs 336 ms: the
+# brute's per-pixel work scales with W). Extrapolating the brute's
+# O(W)/pixel growth puts the crossover near W=1024.
+_PALLAS_MIN_W = 1024
+
+
+def default_use_pallas(shape=None) -> bool:
+    """Pick the faster exact-EDT pass 2 for this backend and shape:
+    the banded Pallas kernel on TPU at map-scale widths (last dim >=
+    _PALLAS_MIN_W), the chunked-XLA brute force for tile-scale batches
+    and on CPU (the kernel targets the TPU mosaic pipeline; CPU runs use
+    interpret mode only in tests). shape=None answers for the
+    map-scale case."""
     import jax
 
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if shape is None:
+        return True
+    return int(shape[-1]) >= _PALLAS_MIN_W
 
 
 def build_multich(bgr: jnp.ndarray, out_channels: int,
@@ -271,11 +289,12 @@ def build_multich(bgr: jnp.ndarray, out_channels: int,
     4ch -> [R, G, B, DT-Edge]. Input BGR uint8 [B, H, W, 3]; output float32
     [B, H, W, C] still in 0..255 (scaling /255 happens in the forward).
 
-    use_pallas=None picks the Pallas EDT kernel automatically on TPU."""
+    use_pallas=None picks the faster exact EDT automatically per
+    backend and shape (Pallas only at map-scale widths on TPU)."""
     rgb = bgr[..., ::-1].astype(jnp.float32)
     if out_channels == 3:
         return rgb
     if use_pallas is None:
-        use_pallas = default_use_pallas()
+        use_pallas = default_use_pallas(bgr.shape[:-1])
     dt = dt_edge_channel(bgr, cfg, use_pallas=use_pallas)
     return jnp.concatenate([rgb, dt[..., None]], axis=-1)

@@ -176,3 +176,20 @@ class TestFullChannel:
         img[..., 2] = 30  # R
         out = np.asarray(DT.build_multich(jnp.asarray(img), 3))
         assert out[0, 0, 0, 0] == 30 and out[0, 0, 0, 2] == 10
+
+    def test_default_use_pallas_shape_aware(self, monkeypatch):
+        """Auto EDT selection: chunked-XLA at tile widths, banded Pallas
+        at map widths — on TPU only (measured crossover, see
+        ops/dtedge._PALLAS_MIN_W)."""
+        import jax
+
+        # CPU backend (this test env): always False
+        assert DT.default_use_pallas() is False
+        assert DT.default_use_pallas((1, 4096, 4096)) is False
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert DT.default_use_pallas() is True              # map-scale default
+        assert DT.default_use_pallas((128, 416, 416)) is False
+        assert DT.default_use_pallas((128, 512, 512)) is False
+        assert DT.default_use_pallas((1, 2048, 4096)) is True
+        assert DT.default_use_pallas((1, 1024, 1024)) is True
