@@ -30,7 +30,8 @@ def bench_config(model_scale: str, tile_size: int, batch: int,
                       model_scale=model_scale, epochs=10)
     model, state, _ = TR.create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=50)
-    step_fn = TR.make_train_step(model, None, cfg, LossConfig(nc=cfg.nc))
+    step_fn = TR.make_train_step(
+        model, None, cfg, LossConfig(nc=cfg.nc, img_size=tile_size))
 
     rng = np.random.RandomState(0)
     M = 16
@@ -41,11 +42,11 @@ def bench_config(model_scale: str, tile_size: int, batch: int,
         "gt_labels": jnp.asarray(
             rng.randint(0, cfg.nc, (batch, M)).astype(np.int32)),
         "gt_xywhr": jnp.asarray(
-            np.stack([
+            np.concatenate([
                 rng.uniform(20, tile_size - 20, (batch, M, 2)),
                 rng.uniform(8, 30, (batch, M, 2)),
                 rng.uniform(-0.7, 2.3, (batch, M, 1)),
-            ], axis=-1).reshape(batch, M, 5).astype(np.float32)),
+            ], axis=-1).astype(np.float32)),
         "gt_mask": jnp.asarray(
             (rng.rand(batch, M) < 0.6).astype(np.bool_)),
     }
