@@ -257,11 +257,13 @@ def dt_edge_channel(bgr: jnp.ndarray, cfg: DTEdgeConfig = DTEdgeConfig(),
 
 # Measured crossover between the two exact pass-2 EDT implementations
 # (tools/profile/dtedge_isolated.py): at [128, 416, 416] the chunked-XLA
-# brute force runs 0.33 ms/tile vs 1.44 for the banded Pallas kernel —
-# per-strip grid dispatch and the while_loop don't amortize at tile
-# widths, while XLA batches the O(W^2) min-plus across B*H rows cleanly.
-# At 4096^2 the banded kernel is ~30x the brute (10 ms vs 336 ms: the
-# brute's per-pixel work scales with W). Extrapolating the brute's
+# brute force runs 0.33 ms/tile vs 0.42 for the banded Pallas kernel
+# (with 128-row cells; 8-row cells measured 1.34 — grid dispatch
+# dominates tile widths) — map imagery has blank regions whose band
+# radius approaches W, so at tile widths the band buys too little over
+# the brute's clean O(W^2) XLA batching. At 4096^2 the banded kernel is
+# ~30x the brute (10 ms vs 336 ms: the brute's per-pixel work scales
+# with W while real-content bands don't). Extrapolating the brute's
 # O(W)/pixel growth puts the crossover near W=1024.
 _PALLAS_MIN_W = 1024
 

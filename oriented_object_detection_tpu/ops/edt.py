@@ -146,11 +146,13 @@ def _edt_pass2_rows_xla(d0: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
     return out
 
 
-_ROWS = 8  # rows per strip / grid cell
+_ROWS = 8        # rows per grid cell at map widths (tight band)
+_ROWS_TILE = 128  # rows per grid cell at tile widths (amortize dispatch)
 _GRP = 8   # column decimation for the band-radius bound
 
 
-def _band_radius(d0: jnp.ndarray, real_w: int) -> jnp.ndarray:
+def _band_radius(d0: jnp.ndarray, real_w: int,
+                 rows_per_cell: int = _ROWS) -> jnp.ndarray:
     """Per-strip band radius R that provably contains every pass-2 argmin.
 
     Since sqrt(a^2 + b^2) <= a + b, the true distance obeys
@@ -174,10 +176,10 @@ def _band_radius(d0: jnp.ndarray, real_w: int) -> jnp.ndarray:
     anyway, and dropping pad-k candidates is sound because their f = INF
     never wins for real j.
 
-    d0: [N, W] (N % _ROWS == 0, W % _GRP == 0); real_w: count of real
-    (non-pad) columns. Returns int32 [S]."""
+    d0: [N, W] (N % rows_per_cell == 0, W % _GRP == 0); real_w: count of
+    real (non-pad) columns. Returns int32 [N // rows_per_cell]."""
     N, W = d0.shape
-    S, G = N // _ROWS, W // _GRP
+    S, G = N // rows_per_cell, W // _GRP
     u = jnp.minimum(d0, _INF).reshape(N, G, _GRP).min(axis=2)  # [N, G]
     s = 1
     while s < G:
@@ -189,30 +191,40 @@ def _band_radius(d0: jnp.ndarray, real_w: int) -> jnp.ndarray:
         s *= 2
     g_real = -(-real_w // _GRP)
     u = u[:, :g_real]
-    r = u.reshape(S, _ROWS * g_real).max(axis=1) + float(_GRP - 1)
+    r = u.reshape(S, rows_per_cell * g_real).max(axis=1) + float(_GRP - 1)
     # +1 for the ceil; clip to W so INF never overflows int32
     return jnp.minimum(r + 1.0, float(W)).astype(jnp.int32)
 
 
 def _edt_pass2_rows_pallas(d0: jnp.ndarray, radius: jnp.ndarray,
-                           real_w: int) -> jnp.ndarray:
+                           real_w: int,
+                           rows_per_cell: int = _ROWS) -> jnp.ndarray:
     """Banded shift-space Pallas TPU kernel for pass 2.
 
-    d0: [N, W] vertical distances (rows flattened); radius: int32 [N//8]
-    per-strip band radii from `_band_radius`; real_w: count of real
-    (non-INF-pad) columns, used to mask pads out of the early-exit max.
-    Returns squared distances [N, W]. W must be a multiple of 128, N
-    of 8.
+    d0: [N, W] vertical distances (rows flattened); radius: int32
+    [N // rows_per_cell] per-cell band radii from `_band_radius`; real_w:
+    count of real (non-INF-pad) columns, used to mask pads out of the
+    early-exit max. Returns squared distances [N, W]. W must be a
+    multiple of 128, N of rows_per_cell (itself a multiple of 8).
 
-    One grid cell per 8-row strip. A dynamic-bound fori_loop scans
+    One grid cell per rows_per_cell-row block. A dynamic-bound loop scans
     offsets delta in [-R, R] with a dynamic CIRCULAR lane roll
     (tpu.dynamic_rotate — Mosaic cannot do unaligned dynamic vector
     loads, but dynamic rolls are native):
         out = min(out, where(0 <= j+delta < W, roll(f^2, -delta) +
                              delta^2, INF))
-    — a handful of [8, W] vector ops per offset, no 3-D broadcasts, no
-    per-j-block grid overhead; the mask kills wrapped lanes so edge
-    handling is free."""
+    — a handful of [rows_per_cell, W] vector ops per offset, no 3-D
+    broadcasts, no per-j-block grid overhead; the mask kills wrapped
+    lanes so edge handling is free.
+
+    rows_per_cell trades grid-dispatch overhead (~2 us/cell) against
+    band looseness (the radius and the early-exit bound are maxima over
+    the whole cell): at map widths (W >= 1024) the per-offset vector work
+    amortizes the dispatch, so 8-row strips keep the band tight; at tile
+    widths an [8, 512] strip's band loop is ~1 us of vector work and the
+    grid dispatch DOMINATED (measured 1.44 ms/tile vs 0.33 for the XLA
+    brute at [128, 416, 416] with 8-row cells) — 128-row cells put ~3
+    cells per 416 tile and the dispatch disappears into the loop."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -267,9 +279,9 @@ def _edt_pass2_rows_pallas(d0: jnp.ndarray, radius: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N // _ROWS,),
-        in_specs=[pl.BlockSpec((_ROWS, W), lambda s, r: (s, 0))],
-        out_specs=pl.BlockSpec((_ROWS, W), lambda s, r: (s, 0)),
+        grid=(N // rows_per_cell,),
+        in_specs=[pl.BlockSpec((rows_per_cell, W), lambda s, r: (s, 0))],
+        out_specs=pl.BlockSpec((rows_per_cell, W), lambda s, r: (s, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -297,8 +309,12 @@ def edt_l2(edge_mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
             ).reshape(*edge_mask.shape)
         else:
             d0 = _edt_pass1_columns(edge_mask)
-        Np = _round_up(int(np.prod(lead, dtype=np.int64)) * H, 8)
         Wp = _round_up(W, 128)
+        # rows per grid cell: 8-row strips keep the band tight at map
+        # widths; tile widths need big cells or grid dispatch dominates
+        # (see _edt_pass2_rows_pallas)
+        rpc = _ROWS if Wp >= 1024 else _ROWS_TILE
+        Np = _round_up(int(np.prod(lead, dtype=np.int64)) * H, rpc)
         flat = d0.reshape(-1, W)
         # pad COLUMNS with INF (those k must never win for real j); pad
         # ROWS with 0 (rows are independent and the pads are discarded —
@@ -306,7 +322,8 @@ def edt_l2(edge_mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
         flat = jnp.pad(flat, ((0, 0), (0, Wp - W)), constant_values=_INF)
         flat = jnp.pad(flat, ((0, Np - flat.shape[0]), (0, 0)),
                        constant_values=0.0)
-        sq = _edt_pass2_rows_pallas(flat, _band_radius(flat, W), W)[
+        sq = _edt_pass2_rows_pallas(flat, _band_radius(flat, W, rpc), W,
+                                    rpc)[
             : int(np.prod(lead, dtype=np.int64)) * H, :W]
         sq = sq.reshape(*lead, H, W)
     else:

@@ -65,7 +65,7 @@ class TestHostLocalToGlobal:
             state = PM.replicate(state, mesh)
             batch = DIST.host_local_batch_to_global(local, mesh)
             _, metrics = step_fn(state, batch)
-        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(TR.metrics_dict(metrics)["loss"])
 
     def test_initialize_single_host_is_safe(self):
         # single host, no cluster env: the wrapper swallows the missing-
@@ -111,7 +111,7 @@ class TestShardedConvergence:
             batch = PM.shard_batch(batch_np, mesh)
             for _ in range(steps):
                 state, metrics = step_fn(state, batch)
-                losses.append(float(metrics["loss"]))
+                losses.append(TR.metrics_dict(metrics)["loss"])
         assert all(np.isfinite(losses))
         # learning check: strictly below the start and the last-5 mean
         # clearly under the first-5 mean (observed ratio ~0.82; warmup

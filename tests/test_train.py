@@ -103,7 +103,7 @@ class TestLoss:
         losses = []
         for _ in range(80):
             state, m = step_fn(state, batch)
-            losses.append(float(m["loss"]))
+            losses.append(TR.metrics_dict(m)["loss"])
         assert not np.isnan(losses).any()
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.6, (
             losses[:5], losses[-5:])
@@ -142,7 +142,7 @@ class TestDataParallel:
             state_r = PM.replicate(state, mesh)
             batch_s = PM.shard_batch(batch, mesh)
             new_state, metrics = step_fn(state_r, batch_s)
-        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(TR.metrics_dict(metrics)["loss"])
 
         # gradient math must match the single-device result; the train
         # step donates its input state (and device_put may alias
@@ -150,8 +150,8 @@ class TestDataParallel:
         _, state_b, _ = TR.create_train_state(
             cfg, jax.random.PRNGKey(3))
         state2, metrics2 = step_fn(state_b, batch)
-        np.testing.assert_allclose(float(metrics["loss"]),
-                                   float(metrics2["loss"]), rtol=1e-4)
+        np.testing.assert_allclose(TR.metrics_dict(metrics)["loss"],
+                                   TR.metrics_dict(metrics2)["loss"], rtol=1e-4)
         # bias params take a real step at warmup lr 0.1 from iteration 0
         # (engine warmup semantics), so float32 reduction-order noise of
         # the sharded BN/psum path (grad deltas ~1e-3 relative through

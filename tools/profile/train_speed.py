@@ -52,12 +52,12 @@ def bench_config(model_scale: str, tile_size: int, batch: int,
     }
 
     state, m = step_fn(state, batch_h)       # compile
-    float(m["loss"])                          # sync
+    np.asarray(m)                             # sync
 
     t0 = time.time()
     for _ in range(steps):
         state, m = step_fn(state, batch_h)
-    float(m["loss"])                          # one fetch acks the chain
+    np.asarray(m)                             # one fetch acks the chain
     dt = (time.time() - t0) / steps
     print(f"  {model_scale}-scale {tile_size}px b{batch}: "
           f"{dt * 1000:.1f} ms/step -> {batch / dt:.1f} imgs/sec")
