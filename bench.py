@@ -118,13 +118,24 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
     weights = []
     scales = []
     for sc in cfg.scales:
-        ck = f"runs/obb/train{sc.tile_size}/best.ckpt"
+        # live training output first; committed distilled asset as the
+        # fallback (runs/ is gitignored and cleaned between sessions,
+        # which silently dropped the trained headline once — the asset
+        # keeps the full-pipeline headline measurable from a fresh clone)
+        cands = [f"runs/obb/train{sc.tile_size}/best.ckpt",
+                 f"assets/bench_ckpts/train{sc.tile_size}.ckpt"]
         if use_ckpt:
-            if not os.path.exists(ck):
-                return None, f"missing {ck}"
+            ck = next((c for c in cands if os.path.exists(c)), None)
+            if ck is None:
+                return None, f"missing {' and '.join(cands)}"
             from oriented_object_detection_tpu.train.trainer import (
                 load_checkpoint)
             ckd = load_checkpoint(ck)
+            if ckd.get("extra", {}).get("distilled_fp16"):
+                ckd["params"] = jax.tree.map(
+                    lambda a: a.astype(np.float32)
+                    if getattr(a, "dtype", None) == np.float16 else a,
+                    ckd["params"])
             extra = ckd.get("extra", {})
             ck_ts = extra.get("tile_size", sc.tile_size)
             ck_ch = extra.get("channels", cfg.channels)
