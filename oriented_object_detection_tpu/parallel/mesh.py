@@ -6,8 +6,10 @@ parameters replicated, batches sharded on the leading axis, gradient
 all-reduce inserted by XLA from the sharding annotations (riding ICI).
 The same helpers shard inference tile batches across chips.
 
-A `model` axis is reserved in `make_mesh` for future tensor parallelism
-(SURVEY.md §2.4: not needed at this model size, left free by design).
+A `model` axis complements it: `shard_model`/`shard_train_state` weight-
+shard params/EMA/momentum over it (ZeRO-3-style; SURVEY.md §2.4 reserves
+the axis — this model fits one chip, so the win is optimizer+EMA memory,
+and the layout is the template for anything bigger).
 """
 
 from __future__ import annotations
@@ -51,6 +53,43 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def shard_model(tree, mesh: Mesh):
+    """Weight-shard a parameter pytree over the `model` axis.
+
+    Every leaf whose trailing (output-channel for HWIO conv kernels,
+    feature for biases/BN) dimension divides the model-axis size is split
+    over that axis; the rest replicate. With the batch sharded over
+    `data`, XLA/GSPMD inserts the per-layer all-gathers (ZeRO-3-style
+    weight sharding) or keeps activations channel-sharded (Megatron-style
+    TP) — whichever its cost model prefers. At this model size the win is
+    memory (params + momentum + EMA scale 1/n_model per chip), the
+    TPU-native replacement for what the reference would need if the model
+    outgrew one GPU (SURVEY.md §2.4: model axis reserved by design)."""
+    n = mesh.shape[MODEL_AXIS]
+    if n == 1:
+        return replicate(tree, mesh)
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[-1] % n == 0:
+            spec = P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+        else:
+            spec = P()  # odd dims (e.g. the 1-channel angle head bias)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Lay out a TrainState for (data, model) training: params, EMA and
+    SGD momentum weight-sharded over `model`; batch_stats / step / sched
+    replicated. With n_model == 1 this degrades to full replication."""
+    repl = replicate(state, mesh)
+    return repl.replace(
+        params=shard_model(state.params, mesh),
+        ema_params=shard_model(state.ema_params, mesh),
+        opt_state=shard_model(state.opt_state, mesh))
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -118,3 +118,107 @@ class TestShardedConvergence:
         # keeps the first steps small so demand < 0.95, not < 0.8)
         assert losses[-1] < losses[0], losses
         assert np.mean(losses[-5:]) < 0.95 * np.mean(losses[:5]), losses
+
+
+class TestModelAxisSharding:
+    """2-D (data, model) mesh: params/EMA/SGD momentum weight-sharded over
+    the model axis (PM.shard_model / PM.shard_train_state), batch over the
+    data axis — must reproduce the replicated-DP step bit-for-bit modulo
+    reduction order, and actually shard (each device holds 1/n_model of
+    every divisible leaf)."""
+
+    def _setup(self):
+        cfg = TrainConfig(tile_size=32, model_scale="n",
+                          compute_dtype="float32", epochs=1)
+        model, state, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(5), steps_per_epoch=4)
+        # break score ties: fresh sparse init scores every anchor nearly
+        # identically, so 1-ulp cross-layout reduction drift flips the
+        # assigner's top-k DISCRETELY (different positives -> ~30% param
+        # deltas after one step). Jitter the weights so align metrics are
+        # separated by far more than fp32 layout drift.
+        key = jax.random.PRNGKey(11)
+        noisy = {}
+        leaves, treedef = jax.tree.flatten(state.params)
+        keys = jax.random.split(key, len(leaves))
+        leaves = [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                  if l.dtype == jnp.float32 else l
+                  for l, k in zip(leaves, keys)]
+        state = state.replace(params=jax.tree.unflatten(treedef, leaves),
+                              ema_params=jax.tree.unflatten(treedef,
+                                                            leaves))
+        step_fn = TR.make_train_step(
+            model, tx, cfg, LossConfig(img_size=32))
+        rng = np.random.RandomState(7)
+        B = 4
+        batch = {
+            "images": rng.rand(B, 32, 32, 3).astype(np.float32),
+            "gt_labels": np.full((B, 2), 1, np.int32),
+            "gt_xywhr": np.tile(
+                np.array([[[16.0, 16, 10, 8, 0.3],
+                           [8.0, 8, 6, 5, -0.2]]], np.float32),
+                (B, 1, 1)),
+            "gt_mask": np.ones((B, 2), bool),
+        }
+        return state, step_fn, batch
+
+    def test_shard_model_layout(self):
+        mesh = PM.make_mesh(n_data=4, n_model=2)
+        state, _, _ = self._setup()
+        sharded = PM.shard_model(state.params, mesh)
+
+        def n_model_shards(x):
+            # distinct device slices along the last axis
+            return len({s.index[-1] for s in x.addressable_shards})
+
+        leaves = jax.tree.leaves(sharded)
+        split = [x for x in leaves if x.shape and x.shape[-1] % 2 == 0]
+        assert split, "no shardable leaves found"
+        assert all(n_model_shards(x) == 2 for x in split)
+        # odd trailing dims (1-channel angle-head bias) stay replicated
+        odd = [x for x in leaves if not x.shape or x.shape[-1] % 2]
+        assert all(n_model_shards(x) == 1 for x in odd)
+
+    def test_step_matches_replicated_dp(self):
+        """Loss (computed from the pre-update params, a continuous
+        function) must match across layouts. Updated PARAMS are not
+        compared element-wise: the TAL assigner top-ks alignment metrics
+        that tie at ~0 for most anchors under near-fresh weights, so
+        1-ulp cross-layout reduction drift flips positives discretely
+        (~30%% single-element param deltas after one step with fresh
+        init, ~13%% with jittered weights — measured). Instead assert the
+        update PRESERVES the model-axis layout and stays finite, and that
+        the 2-D mesh actually learns over steps (continuous contract)."""
+        state, step_fn, batch = self._setup()
+        # step_fn donates its inputs and device_put may alias source
+        # buffers — snapshot the initial state to host before the first run
+        state = jax.tree.map(np.asarray, state)
+
+        mesh_dp = PM.make_mesh(n_data=4, n_model=1)
+        with mesh_dp:
+            st = PM.shard_train_state(state, mesh_dp)  # degrades to repl
+            b = PM.shard_batch(batch, mesh_dp)
+            _, m_dp = step_fn(st, b)
+            loss_dp = TR.metrics_dict(m_dp)["loss"]
+
+        mesh_tp = PM.make_mesh(n_data=4, n_model=2)
+        losses = []
+        with mesh_tp:
+            st = PM.shard_train_state(state, mesh_tp)
+            b = PM.shard_batch(batch, mesh_tp)
+            for _ in range(6):
+                st, m_tp = step_fn(st, b)
+                losses.append(TR.metrics_dict(m_tp)["loss"])
+
+        # (1) first-step loss matches replicated DP (fp32 reduction-order
+        # drift only: observed ~6e-4 rel)
+        assert np.isfinite(losses).all(), losses
+        np.testing.assert_allclose(losses[0], loss_dp, rtol=5e-3)
+        # (2) the update preserved the model-axis weight sharding
+        def n_model_shards(x):
+            return len({s.index[-1] for s in x.addressable_shards})
+        for leaf in jax.tree.leaves(st.params):
+            want = 2 if (leaf.shape and leaf.shape[-1] % 2 == 0) else 1
+            assert n_model_shards(leaf) == want, leaf.shape
+        # (3) it learns through the 2-D layout
+        assert losses[-1] < losses[0], losses
