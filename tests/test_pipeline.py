@@ -253,3 +253,57 @@ class TestResultsAPI:
         with pytest.raises(ValueError):
             det.predict_crop(np.zeros((32, 32, 3), np.uint8),
                              tile_size=128)
+
+
+class TestValidPrefixFetch:
+    """Adaptive valid-prefix D2H (`TiledDetector._fetch_valid_prefix`):
+    metrics-mode packs are ~95% invalid padding and dataset-scale fetch
+    was D2H-volume-bound, so detect_images fetches only a bucketed
+    valid-first prefix when the pack is large. Must be bit-identical to
+    the single full fetch in every mode, across repeated chunks (hint
+    steady state) and under a saturated predict-mode cap."""
+
+    def _results(self, det, imgs):
+        out = []
+        for r in det.detect_images(imgs):
+            out.append({k: np.asarray(v) for k, v in r.items()
+                        if isinstance(v, np.ndarray)})
+        return out
+
+    @pytest.mark.parametrize("metrics", [True, False])
+    def test_prefix_matches_full_fetch(self, metrics, monkeypatch):
+        det = make_detector([(64, 16), (96, 24)], metrics=metrics)
+        rng = np.random.RandomState(21)
+        imgs = [rng.randint(0, 255, (100, 120, 3)).astype(np.uint8),
+                rng.randint(0, 255, (130, 100, 3)).astype(np.uint8)]
+        full = self._results(det, imgs)
+        monkeypatch.setattr(type(det), "SPLIT_FETCH_MIN_BYTES", 0)
+        for _ in range(3):  # repeat: hints move toward the valid count
+            pref = self._results(det, imgs)
+            assert len(pref) == len(full)
+            for a, b in zip(pref, full):
+                assert a.keys() == b.keys()
+                for k in a:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_prefix_saturated_fetches_everything(self, monkeypatch):
+        """Force a tiny first prefix on a pack with many valid rows: the
+        doubling loop must keep fetching until it sees an invalid row (or
+        exhausts the pack), never dropping valid rows."""
+        det = make_detector([(64, 16)], metrics=True)
+        rng = np.random.RandomState(22)
+        imgs = [rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)]
+        full = self._results(det, imgs)
+        monkeypatch.setattr(type(det), "SPLIT_FETCH_MIN_BYTES", 0)
+        det._fetch_hints = {}
+        orig = det._fetch_valid_prefix
+
+        def tiny_hint(packed, ts):
+            det._fetch_hints.setdefault((ts, packed.shape[0]), -63)
+            return orig(packed, ts)
+
+        monkeypatch.setattr(det, "_fetch_valid_prefix", tiny_hint)
+        pref = self._results(det, imgs)
+        for a, b in zip(pref, full):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
