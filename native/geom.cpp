@@ -113,6 +113,28 @@ void load_quad(const double* c8, Pt q[4]) {
     }
 }
 
+struct AABB {
+    double x0, y0, x1, y1;
+};
+
+AABB quad_aabb(const Pt q[4]) {
+    AABB b{q[0].x, q[0].y, q[0].x, q[0].y};
+    for (int i = 1; i < 4; ++i) {
+        b.x0 = std::min(b.x0, q[i].x);
+        b.y0 = std::min(b.y0, q[i].y);
+        b.x1 = std::max(b.x1, q[i].x);
+        b.y1 = std::max(b.y1, q[i].y);
+    }
+    return b;
+}
+
+// Disjoint AABBs => intersection area 0 => IoU 0: an exact prescreen for
+// any positive IoU threshold. Most det pairs on a large map are spatially
+// disjoint, so this skips the quad clipping for ~all of them.
+inline bool aabb_overlap(const AABB& a, const AABB& b) {
+    return a.x0 <= b.x1 && b.x0 <= a.x1 && a.y0 <= b.y1 && b.y0 <= a.y1;
+}
+
 double quad_iou_impl(const Pt q1[4], const Pt q2[4]) {
     if (!quad_is_simple(q1) || !quad_is_simple(q2)) return 0.0;
     Pt t1[2][3], t2[2][3];
@@ -164,25 +186,89 @@ int greedy_nms(const double* dets, int n, double iou_thr, int* keep_out) {
     std::stable_sort(order, order + n, [&](int a, int b) {
         return dets[a * 11 + 9] > dets[b * 11 + 9];
     });
+    Pt(*quads)[4] = new Pt[n][4];
+    AABB* boxes = new AABB[n];
+    for (int i = 0; i < n; ++i) {
+        load_quad(dets + 11 * i, quads[i]);
+        boxes[i] = quad_aabb(quads[i]);
+    }
+    // AABB prescreen is exact only for a positive threshold (disjoint
+    // boxes have IoU 0 < thr); thr <= 0 disables it
+    bool prescreen = iou_thr > 0.0;
     int kept = 0;
     for (int oi = 0; oi < n; ++oi) {
         int i = order[oi];
-        Pt qi[4];
-        load_quad(dets + 11 * i, qi);
         bool ok = true;
         for (int kj = 0; kj < kept; ++kj) {
             int j = keep_out[kj];
             if (dets[i * 11 + 8] != dets[j * 11 + 8]) continue;
-            Pt qj[4];
-            load_quad(dets + 11 * j, qj);
-            if (quad_iou_impl(qi, qj) >= iou_thr) {
+            if (prescreen && !aabb_overlap(boxes[i], boxes[j])) continue;
+            if (quad_iou_impl(quads[i], quads[j]) >= iou_thr) {
                 ok = false;
                 break;
             }
         }
         if (ok) keep_out[kept++] = i;
     }
+    delete[] quads;
+    delete[] boxes;
     delete[] order;
+    return kept;
+}
+
+// Cross-scale consensus late fusion, mirroring Detect_OBB.py:347-423
+// bit-for-bit (same scan order, same (conf, then IoU) partner
+// tie-breaking, same visited bookkeeping). `dets` [n,11] is the
+// CONS_LOW-prefiltered concatenation of every scale's detections in
+// ascending-scale block order; scale_of[i] is the row's scale index.
+// Writes kept row indices in discovery order; returns count.
+int consensus_filter(const double* dets, const int* scale_of, int n,
+                     double iou_partner, double cons_low, double cons_high,
+                     int* keep_out) {
+    Pt(*quads)[4] = new Pt[n][4];
+    AABB* boxes = new AABB[n];
+    bool* visited = new bool[n]();
+    for (int i = 0; i < n; ++i) {
+        load_quad(dets + 11 * i, quads[i]);
+        boxes[i] = quad_aabb(quads[i]);
+    }
+    bool prescreen = iou_partner > 0.0;
+    int kept = 0;
+    for (int i = 0; i < n; ++i) {
+        if (visited[i]) continue;
+        double cls = dets[i * 11 + 8];
+        double conf = dets[i * 11 + 9];
+        int best = -1;
+        double best_conf = -1.0, best_iou = 0.0;
+        // ascending k over the scale-ordered blocks == the reference's
+        // "for t in other scales (sorted): for j in pool" scan order
+        for (int k = 0; k < n; ++k) {
+            if (scale_of[k] == scale_of[i] || visited[k]) continue;
+            if (dets[k * 11 + 8] != cls) continue;
+            if (prescreen && !aabb_overlap(boxes[i], boxes[k])) continue;
+            double iou = quad_iou_impl(quads[i], quads[k]);
+            if (iou >= iou_partner) {
+                double cp = dets[k * 11 + 9];
+                if (cp > best_conf ||
+                    (cp == best_conf && iou > best_iou)) {
+                    best = k;
+                    best_conf = cp;
+                    best_iou = iou;
+                }
+            }
+        }
+        if (best < 0 || best_conf < cons_low) {
+            if (conf >= cons_high) keep_out[kept++] = i;
+            visited[i] = true;
+            continue;
+        }
+        keep_out[kept++] = (conf >= best_conf) ? i : best;
+        visited[i] = true;
+        visited[best] = true;
+    }
+    delete[] quads;
+    delete[] boxes;
+    delete[] visited;
     return kept;
 }
 

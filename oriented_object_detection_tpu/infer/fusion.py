@@ -114,6 +114,24 @@ def cross_scale_consensus_filter(
     # conf >= CONS_LOW filter per scale
     filt = {s: a[a[:, 9] >= CONS_LOW] for s, a in as_arr.items()}
 
+    # native path: the whole sequential walk in one C++ call (AABB
+    # prescreen + on-demand exact IoU) — the Python walk below is its
+    # bit-exact mirror and the fallback when the library is missing
+    from ..utils import native
+
+    rows = (np.concatenate([filt[s] for s in scales])
+            if any(len(filt[s]) for s in scales)
+            else np.zeros((0, DET_WIDTH)))
+    scale_of = np.concatenate(
+        [np.full(len(filt[s]), si, np.int32)
+         for si, s in enumerate(scales)]) if len(rows) else \
+        np.zeros((0,), np.int32)
+    keep = native.consensus_filter(rows, scale_of, CONS_IOU_PARTNER,
+                                   CONS_LOW, CONS_HIGH)
+    if keep is not None:
+        return (rows[keep] if len(keep)
+                else np.zeros((0, DET_WIDTH), dtype=np.float64))
+
     # one concatenated exact-IoU matrix across all scales
     blocks = [filt[s] for s in scales]
     offsets = np.cumsum([0] + [len(b) for b in blocks])

@@ -440,84 +440,104 @@ class TiledDetector:
             self._dispatch_scale(image_bgr, scale), self.cfg.merge_iou)
 
     # ------------------------------------------------------------------
-    def detect_images(self, images_bgr: list):
-        """Batched multi-image detection: ONE device program per scale
-        covers every image's tile batch (in-graph extraction over the
-        shared device-resident images), and ALL scales' packed results
-        are pulled in ONE D2H fetch (each fetch costs ~35-70 ms of tunnel
-        RPC latency). Returns a list of per-image result dicts (same
-        shape as `detect_image`)."""
-        with prof.timed("detect/h2d"):
-            # one H2D per image, shared by every scale's extraction
-            images_dev = [jnp.asarray(im) for im in images_bgr]
+    # prefix fetches below this total packed size don't pay for their
+    # extra RPC round-trips (each ~35-70 ms; D2H ~4.6 MB/s measured)
+    SPLIT_FETCH_MIN_BYTES = 2 * 1024 * 1024
+
+    def _dispatch_group(self, images_dev: list):
+        """Dispatch every scale's program over a group of device-resident
+        images, and enqueue the joining/prefix-slice device ops NOW — a
+        device op enqueued later (i.e. after the next chunk's H2D) would
+        wait for that transfer (put->compute rule, see detect_stream) and
+        break the pipeline. Returns (fetch_fn, n_images); fetch_fn() ->
+        (flat_all float64, order [(ts, n_rows, segments)])."""
         with prof.timed("detect/dispatch"):
             pending = {
                 sc.tile_size: self._dispatch_scale_multi(images_dev, sc)
                 for sc in self.cfg.scales
             }
-        total_rows = sum(p.shape[0] for p, _ in pending.values())
-        if total_rows * 13 * 4 < self.SPLIT_FETCH_MIN_BYTES:
-            # small result: one joined D2H is RPC-latency-bound — keep
-            # the single-fetch configuration (golden workload)
-            order = [(ts, packed.shape[0], segments)
-                     for ts, (packed, segments) in pending.items()]
-            with prof.timed("detect/fetch"):
+            total_rows = sum(p.shape[0] for p, _ in pending.values())
+            if total_rows * 13 * 4 < self.SPLIT_FETCH_MIN_BYTES:
+                # small result: one joined D2H, RPC-latency-bound — keep
+                # the single-fetch configuration (golden workload)
+                order = [(ts, packed.shape[0], segments)
+                         for ts, (packed, segments) in pending.items()]
                 arrays = [p for _, (p, _) in pending.items()]
                 joined = arrays[0] if len(arrays) == 1 \
                     else jnp.concatenate(arrays)
-                flat_all = np.asarray(joined, np.float64)
-            return self._split_and_finalize(flat_all, order,
-                                            len(images_bgr))
-        # large result (metrics mode packs EVERY per-tile slot so the mAP
-        # low-conf tail survives — ~95% of the rows are invalid padding,
-        # and dataset-scale fetch was D2H-volume-bound at ~4.6 MB/s
-        # through the tunnel): rows are sorted valid-first on device, so
-        # fetch only an adaptive valid prefix per scale
-        order, parts = [], []
-        with prof.timed("detect/fetch"):
+
+                def fetch():
+                    with prof.timed("detect/fetch"):
+                        return np.asarray(joined, np.float64), order
+                return fetch, len(images_dev)
+
+            # large result (metrics mode packs EVERY per-tile slot so the
+            # mAP low-conf tail survives — ~90% of the rows are invalid
+            # padding, and dataset-scale fetch was D2H-volume-bound at
+            # ~4.6 MB/s through the tunnel): rows are sorted valid-first
+            # on device, so fetch only an adaptive valid prefix per scale
+            handles = []
             for ts, (packed, segments) in pending.items():
-                flat = self._fetch_valid_prefix(packed, ts)
-                order.append((ts, len(flat), segments))
-                parts.append(flat)
-            flat_all = parts[0] if len(parts) == 1 \
-                else np.concatenate(parts)
-        return self._split_and_finalize(flat_all, order, len(images_bgr))
+                K = packed.shape[0]
+                hint = self._fetch_hints.get((ts, K), K)
+                # +1: a pow2-exact valid count would otherwise saturate
+                # its own bucket and force a second fetch every time
+                k = min(K, _bucket(max(hint + 1, 64)))
+                pre = packed if k >= K else packed[:k]
+                handles.append((ts, packed, pre, K, segments))
 
-    # prefix fetches below this total packed size don't pay for their
-    # extra RPC round-trips (each ~35-70 ms; D2H ~4.6 MB/s measured)
-    SPLIT_FETCH_MIN_BYTES = 2 * 1024 * 1024
+        def fetch():
+            with prof.timed("detect/fetch"):
+                order, parts = [], []
+                for ts, packed, pre, K, segments in handles:
+                    flat = self._finish_valid_prefix(packed, pre, K, ts)
+                    order.append((ts, len(flat), segments))
+                    parts.append(flat)
+                flat_all = parts[0] if len(parts) == 1 \
+                    else np.concatenate(parts)
+                return flat_all, order
+        return fetch, len(images_dev)
 
-    def _fetch_valid_prefix(self, packed, ts: int) -> np.ndarray:
+    def _finish_valid_prefix(self, packed, pre, K: int,
+                             ts: int) -> np.ndarray:
         """Adaptive valid-prefix D2H of one scale's packed [K, 13] rows.
 
-        The device program top_k-sorts rows valid-first (conf-desc), so
-        the invalid padding — the bulk of a metrics-mode pack — never
-        needs to cross the tunnel: fetch a power-of-two prefix sized by
-        the previous call's valid count, and double while the prefix is
-        saturated (every fetched row still valid). Steady state over
-        same-shaped chunks is ONE small D2H; results are identical to a
-        full fetch because only invalid rows are skipped."""
-        K = packed.shape[0]
-        hint = self._fetch_hints.get((ts, K), K)
-        # +1: a pow2-exact valid count would otherwise saturate its own
-        # bucket and force a second fetch every time
-        k = min(K, _bucket(max(hint + 1, 64)))
-        parts, got = [], 0
-        while True:
-            part = np.asarray(packed[got:k] if got or k < K else packed,
-                              np.float64)
-            parts.append(part)
+        `pre` is the power-of-two prefix slice (sized by the previous
+        call's valid count) that `_dispatch_group` already enqueued.
+        Fetch it, and double while saturated (every fetched row still
+        valid — the doubling slices are enqueued late and may wait behind
+        a pipelined upload, but saturation is rare once the hint has
+        settled). Results are identical to a full fetch because only
+        invalid rows are skipped."""
+        parts = [np.asarray(pre, np.float64)]
+        got = pre.shape[0]
+        while got < K and not (parts[-1][:, 11] <= 0.5).any():
+            k = min(K, got * 2)
+            parts.append(np.asarray(packed[got:k], np.float64))
             got = k
-            if got >= K or (part[:, 11] <= 0.5).any():
-                break
-            k = min(K, k * 2)
         flat = parts[0] if len(parts) == 1 else np.concatenate(parts)
         self._fetch_hints[(ts, K)] = int((flat[:, 11] > 0.5).sum())
         return flat
 
-    def detect_stream(self, images_bgr):
+    def detect_images(self, images_bgr: list):
+        """Batched multi-image detection: ONE device program per scale
+        covers every image's tile batch (in-graph extraction over the
+        shared device-resident images), and ALL scales' packed results
+        are pulled in ONE D2H fetch (each fetch costs ~35-70 ms of tunnel
+        RPC latency) — or an adaptive valid-prefix fetch when the pack is
+        large (metrics mode at dataset scale). Returns a list of
+        per-image result dicts (same shape as `detect_image`)."""
+        with prof.timed("detect/h2d"):
+            # one H2D per image, shared by every scale's extraction
+            images_dev = [jnp.asarray(im) for im in images_bgr]
+        fetch, n = self._dispatch_group(images_dev)
+        flat_all, order = fetch()
+        return self._split_and_finalize(flat_all, order, n)
+
+    def detect_stream(self, images_bgr, chunk: int = 1):
         """Pipelined multi-map detection (generator of per-image result
-        dicts, same shape as `detect_image`).
+        dicts, same shape as `detect_image`), `chunk` images per device
+        program group.
 
         `detect_images` uploads every image FIRST, then dispatches — on
         this box's permanently throttled ~35 MB/s H2D link a 4096^2 map
@@ -526,46 +546,40 @@ class TiledDetector:
         before it*, but a program enqueued AFTER a pending transfer
         waits for the transfer (measured: tools/profile/h2d_overlap.py —
         compute->put 1.76 s ≈ max, put->compute 2.86 s ≈ serial+). So
-        the pipeline order per map k is:
+        the pipeline order per chunk k is:
 
-            dispatch k's per-scale programs + the joining concat
-            -> enqueue map k+1's H2D (hides under k's compute + fetch)
-            -> ONE D2H fetch of k -> host merge/fusion -> yield k
+            dispatch k's per-scale programs + join/prefix-slice ops
+            -> enqueue chunk k+1's H2D (hides under k's compute + fetch)
+            -> D2H fetch of k -> dispatch k+1 -> host merge/fusion of k
+               (overlaps k+1's device compute) -> yield k's results
 
-        Steady-state wall per map = max(H2D, compute + fetch) instead of
-        their sum. Results are identical to `detect_images` per image
-        (each image gets its own per-scale programs; a shape change only
-        costs the usual per-shape compile)."""
+        Steady-state wall per chunk = max(H2D, compute + fetch + host)
+        instead of their sum. Results are identical to `detect_images`
+        per image (a chunk-shape change only costs the usual per-shape
+        compile)."""
         images_bgr = list(images_bgr)
         if not images_bgr:
             return
+        chunk = max(1, chunk)
+        groups = [images_bgr[i:i + chunk]
+                  for i in range(0, len(images_bgr), chunk)]
 
-        def dispatch(img_dev):
-            pending = {
-                sc.tile_size: self._dispatch_scale_multi([img_dev], sc)
-                for sc in self.cfg.scales
-            }
-            order = [(ts, packed.shape[0], segments)
-                     for ts, (packed, segments) in pending.items()]
-            arrays = [p for _, (p, _) in pending.items()]
-            # join on device NOW: enqueued after the next upload it
-            # would stall behind ~1.4 s of transfer (put->compute rule)
-            joined = arrays[0] if len(arrays) == 1 \
-                else jnp.concatenate(arrays)
-            return joined, order
+        def put(group):
+            with prof.timed("detect/h2d"):
+                return [im if isinstance(im, jax.Array)
+                        else jax.device_put(np.asarray(im))
+                        for im in group]
 
-        cur_dev = jnp.asarray(images_bgr[0])
-        cur = dispatch(cur_dev)
-        for nxt in images_bgr[1:]:
-            nxt_dev = jax.device_put(np.asarray(nxt)) \
-                if not isinstance(nxt, jax.Array) else nxt
-            joined, order = cur
-            flat_all = np.asarray(joined, np.float64)   # one D2H fetch
-            yield self._split_and_finalize(flat_all, order, 1)[0]
-            cur = dispatch(nxt_dev)
-        joined, order = cur
-        flat_all = np.asarray(joined, np.float64)
-        yield self._split_and_finalize(flat_all, order, 1)[0]
+        cur = self._dispatch_group(put(groups[0]))
+        for nxt in groups[1:]:
+            nxt_dev = put(nxt)
+            fetch, n = cur
+            flat_all, order = fetch()
+            cur = self._dispatch_group(nxt_dev)
+            yield from self._split_and_finalize(flat_all, order, n)
+        fetch, n = cur
+        flat_all, order = fetch()
+        yield from self._split_and_finalize(flat_all, order, n)
 
     def _split_and_finalize(self, flat_all, order, n_images: int):
         """Split the single fetched packed array into per-scale/per-image

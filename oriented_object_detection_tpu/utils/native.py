@@ -70,6 +70,11 @@ def _load():
     lib.greedy_nms_grouped.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int)]
+    lib.consensus_filter.restype = ctypes.c_int
+    lib.consensus_filter.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int)]
     _LIB = lib
     return _LIB
 
@@ -107,6 +112,26 @@ def greedy_nms(dets: np.ndarray, iou_thr: float) -> np.ndarray | None:
     cnt = lib.greedy_nms(_dp(d), len(d), float(iou_thr),
                          keep.ctypes.data_as(
                              ctypes.POINTER(ctypes.c_int)))
+    return keep[:cnt]
+
+
+def consensus_filter(dets: np.ndarray, scale_of: np.ndarray,
+                     iou_partner: float, cons_low: float,
+                     cons_high: float) -> np.ndarray | None:
+    """Cross-scale consensus fusion (`Detect_OBB.py:347-423` semantics)
+    over the CONS_LOW-prefiltered, scale-block-ordered [n, 11] rows.
+    Returns kept row indices in discovery order, or None if
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(dets, dtype=np.float64).reshape(-1, 11)
+    s = np.ascontiguousarray(scale_of, dtype=np.int32)
+    keep = np.empty(len(d), dtype=np.int32)
+    cnt = lib.consensus_filter(
+        _dp(d), s.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(d),
+        float(iou_partner), float(cons_low), float(cons_high),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return keep[:cnt]
 
 

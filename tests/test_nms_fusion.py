@@ -265,3 +265,59 @@ class TestOneShotNMS:
             jnp.asarray(c8), cls, conf, v, 0.4, use_exact=False))
         assert list(oneshot) == [True, False, False]
         assert list(greedy) == [True, False, True]
+
+
+class TestNativeConsensus:
+    """The native C++ consensus_filter is the production path; the Python
+    walk is its fallback. Both must agree bit-for-bit (the mirror-oracle
+    tests above already pin the production path to the reference)."""
+
+    def _rand_scales(self, rng, n128, n416):
+        def mk(n):
+            d = np.zeros((n, 11))
+            cx = rng.uniform(20, 400, n)
+            cy = rng.uniform(20, 400, n)
+            w = rng.uniform(6, 30, n)
+            h = rng.uniform(6, 30, n)
+            th = rng.uniform(0, np.pi, n)
+            c, s = np.cos(th), np.sin(th)
+            dx = np.stack([w * c - h * s, w * c + h * s,
+                           -w * c + h * s, -w * c - h * s], 1) / 2
+            dy = np.stack([w * s + h * c, w * s - h * c,
+                           -w * s - h * c, -w * s + h * c], 1) / 2
+            d[:, 0:8:2] = cx[:, None] + dx
+            d[:, 1:8:2] = cy[:, None] + dy
+            d[:, 8] = rng.randint(0, 3, n)
+            # conf includes sub-CONS_LOW rows and exact ties
+            d[:, 9] = np.round(rng.uniform(0.1, 1.0, n), 2)
+            return d
+        return {128: mk(n128), 416: mk(n416)}
+
+    def test_native_matches_python_fallback(self, monkeypatch):
+        from oriented_object_detection_tpu.utils import native as NAT
+        if not NAT.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.RandomState(77)
+        for _ in range(20):
+            dbs = self._rand_scales(rng, rng.randint(0, 60),
+                                    rng.randint(0, 40))
+            got = F.cross_scale_consensus_filter(dbs)
+            monkeypatch.setattr(NAT, "consensus_filter",
+                                lambda *a, **k: None)
+            want = F.cross_scale_consensus_filter(dbs)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(got, want)
+
+    def test_nms_prescreen_matches_matrix_path(self):
+        """AABB-prescreened native greedy NMS == the precomputed-IoU
+        Python greedy (merge_detections with an explicit matrix)."""
+        from oriented_object_detection_tpu.utils import native as NAT
+        if not NAT.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.RandomState(78)
+        for _ in range(10):
+            d = self._rand_scales(rng, 80, 0)[128]
+            got = F.merge_detections(d, 0.4)
+            iou = F.exact_iou_matrix_host(d[:, :8], d[:, :8])
+            want = F.merge_detections(d, 0.4, iou=iou)
+            np.testing.assert_array_equal(got, want)

@@ -295,15 +295,34 @@ class TestValidPrefixFetch:
         imgs = [rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)]
         full = self._results(det, imgs)
         monkeypatch.setattr(type(det), "SPLIT_FETCH_MIN_BYTES", 0)
-        det._fetch_hints = {}
-        orig = det._fetch_valid_prefix
-
-        def tiny_hint(packed, ts):
-            det._fetch_hints.setdefault((ts, packed.shape[0]), -63)
-            return orig(packed, ts)
-
-        monkeypatch.setattr(det, "_fetch_valid_prefix", tiny_hint)
+        self._results(det, imgs)          # learn the (ts, K) hint keys
+        assert det._fetch_hints, "prefix path did not engage"
+        # a tiny hint forces the smallest bucket; every row of it will be
+        # valid -> the doubling loop must walk up to the first invalid row
+        det._fetch_hints = {k: -63 for k in det._fetch_hints}
         pref = self._results(det, imgs)
         for a, b in zip(pref, full):
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_chunked_stream_matches_detect_images(self, monkeypatch):
+        """detect_stream(chunk>1) pipelines uploads under compute; its
+        per-image results must be identical to detect_images — in both
+        fetch regimes (small joined fetch and forced prefix fetch)."""
+        det = make_detector([(64, 16), (96, 24)], metrics=True)
+        rng = np.random.RandomState(23)
+        imgs = [rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+                for _ in range(5)]
+        full = self._results(det, imgs)
+        for thr in (None, 0):
+            if thr is not None:
+                monkeypatch.setattr(type(det), "SPLIT_FETCH_MIN_BYTES",
+                                    thr)
+            streamed = []
+            for r in det.detect_stream(imgs, chunk=2):
+                streamed.append({k: np.asarray(v) for k, v in r.items()
+                                 if isinstance(v, np.ndarray)})
+            assert len(streamed) == len(full)
+            for a, b in zip(streamed, full):
+                for k in a:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -87,19 +87,20 @@ def main(argv=None):
     prof.reset()
     dets_pr, dets_map = {}, {}
     t0 = time.time()
-    for s in range(0, len(maps), args.chunk):
-        chunk = maps[s:s + args.chunk]
-        # pad a short final chunk to the full chunk shape (image list
-        # length is part of the jit key — a smaller last chunk would
-        # trigger a fresh ~20-90 s tunnel compile inside the timed loop;
-        # tile validity masking makes the padded results discardable)
-        imgs = [im for _, im in chunk]
-        while len(imgs) < args.chunk:
-            imgs.append(imgs[-1])
-        results = det.detect_images(imgs)[:len(chunk)]
-        for (name, _), res in zip(chunk, results):
-            dets_pr[name] = res["merged_for_pr"]
-            dets_map[name] = res["merged_for_map"]
+    # pad a short final chunk to the full chunk shape (image list length
+    # is part of the jit key — a smaller last chunk would trigger a fresh
+    # ~20-90 s tunnel compile inside the timed loop; tile validity
+    # masking makes the padded results discardable)
+    names = [name for name, _ in maps]
+    imgs = [im for _, im in maps]
+    while len(imgs) % args.chunk:
+        imgs.append(imgs[-1])
+    # chunked pipelined stream: chunk k+1's H2D rides under chunk k's
+    # compute+fetch, and chunk k's host merge/fusion overlaps chunk
+    # k+1's device compute
+    for name, res in zip(names, det.detect_stream(imgs, chunk=args.chunk)):
+        dets_pr[name] = res["merged_for_pr"]
+        dets_map[name] = res["merged_for_map"]
     detect_s = time.time() - t0
     stage_ms = {k: round(v["total_s"] * 1000.0, 1)
                 for k, v in prof.report().items()}
