@@ -294,4 +294,36 @@ int greedy_nms_grouped(const double* dets, const int* group_ids, int n,
     return total;
 }
 
+// Greedy per-threshold det->GT matching for the AP sweeps
+// (Detect_OBB.py:512-565 semantics at every threshold at once).
+// iou: [nd, ng] row-major with det rows in confidence-descending order;
+// thrs: [T]. Each threshold evolves an independent matched-GT mask; det
+// d is a TP at threshold t iff its best UNMATCHED gt by IoU has iou > 0
+// and iou >= thrs[t] (ties pick the first gt, like numpy argmax), and
+// that gt becomes matched. out_tp: [T, nd] row-major, 0/1.
+void pr_match_multi(const double* iou, int nd, int ng, const double* thrs,
+                    int T, unsigned char* out_tp) {
+    bool* matched = new bool[(size_t)T * ng]();
+    std::memset(out_tp, 0, (size_t)T * nd);
+    for (int d = 0; d < nd; ++d) {
+        const double* row = iou + (size_t)d * ng;
+        for (int t = 0; t < T; ++t) {
+            bool* m = matched + (size_t)t * ng;
+            double best = 0.0;
+            int bj = -1;
+            for (int j = 0; j < ng; ++j) {
+                if (!m[j] && row[j] > best) {
+                    best = row[j];
+                    bj = j;
+                }
+            }
+            if (bj >= 0 && best >= thrs[t]) {
+                m[bj] = true;
+                out_tp[(size_t)t * nd + d] = 1;
+            }
+        }
+    }
+    delete[] matched;
+}
+
 }  // extern "C"

@@ -136,6 +136,31 @@ def compute_pr_for_class_multi(dets: list, gts: dict, iou_lookup,
     gt_rows_np = {img: np.asarray(v, dtype=int) for img, v in gts.items()}
     t_idx = np.arange(T)
 
+    # native fast path: matching state is PER IMAGE, so the global
+    # conf-ordered walk decomposes into independent per-image walks
+    # (relative conf order within an image is preserved by the stable
+    # global sort) whose TP flags scatter back into global rank
+    # positions — one C++ call per image instead of a Python iteration
+    # per detection (the loop below is the bit-exact fallback)
+    from ..utils import native
+
+    if native.available():
+        by_img: dict = {}
+        for rank, di in enumerate(order):
+            img, det_idx, _ = dets[di]
+            r, d = by_img.setdefault(img, ([], []))
+            r.append(rank)
+            d.append(det_idx)
+        for img, (ranks, didx) in by_img.items():
+            rows = gt_rows_np.get(img)
+            if rows is None or not len(rows):
+                continue
+            block = np.ascontiguousarray(
+                iou_lookup(img)[np.ix_(didx, rows)])
+            tp_img = native.pr_match_multi(block, thr)
+            tp[:, ranks] = tp_img
+        return _pr_curves_from_tp(tp, npos, T)
+
     for rank, di in enumerate(order):
         img, det_idx, _ = dets[di]
         rows = gt_rows_np.get(img)
@@ -152,6 +177,10 @@ def compute_pr_for_class_multi(dets: list, gts: dict, iou_lookup,
         m[ok, j[ok]] = True
         tp[ok, rank] = 1
 
+    return _pr_curves_from_tp(tp, npos, T)
+
+
+def _pr_curves_from_tp(tp: np.ndarray, npos: int, T: int) -> list:
     out = []
     for t in range(T):
         tp_c = np.cumsum(tp[t])

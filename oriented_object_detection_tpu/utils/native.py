@@ -75,6 +75,11 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int)]
+    lib.pr_match_multi.restype = None
+    lib.pr_match_multi.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte)]
     _LIB = lib
     return _LIB
 
@@ -133,6 +138,25 @@ def consensus_filter(dets: np.ndarray, scale_of: np.ndarray,
         float(iou_partner), float(cons_low), float(cons_high),
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return keep[:cnt]
+
+
+def pr_match_multi(iou: np.ndarray,
+                   iou_thrs: np.ndarray) -> np.ndarray | None:
+    """Greedy det->GT matching for every IoU threshold at once over one
+    image's [nd, ng] IoU block (det rows conf-descending). Returns TP
+    flags [T, nd] (uint8), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(iou, dtype=np.float64)
+    nd, ng = m.shape
+    t = np.ascontiguousarray(iou_thrs, dtype=np.float64)
+    out = np.zeros((len(t), nd), dtype=np.uint8)
+    if nd and ng:
+        lib.pr_match_multi(
+            _dp(m), nd, ng, _dp(t), len(t),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out
 
 
 def greedy_nms_grouped(dets: np.ndarray, group_ids: np.ndarray,

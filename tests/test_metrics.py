@@ -275,3 +275,37 @@ class TestMultiThresholdPR:
         single = compute_pr_for_class(
             [("a", 0, 0.9)], {"a": []}, lambda im: np.zeros((1, 0)), 0.5)
         assert multi[0][2:] == single[2:]
+
+
+class TestNativePRMatcher:
+    def test_native_path_equals_python_fallback(self, monkeypatch):
+        """The per-image native C++ matcher (scattered into global rank
+        order) must equal the Python per-detection walk bit-for-bit."""
+        from oriented_object_detection_tpu.eval.metrics import (
+            compute_pr_for_class_multi)
+        from oriented_object_detection_tpu.utils import native as NAT
+
+        if not NAT.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.RandomState(5)
+        iou_list = [0.3, 0.5, 0.7, 0.9]
+        for _ in range(10):
+            imgs = [f"im{k}" for k in range(5)]
+            gts = {im: list(range(rng.randint(0, 8))) for im in imgs}
+            mats = {im: np.round(rng.rand(12, 16), 2) for im in imgs}
+            # zero some rows/cols to hit the no-candidate branches
+            for im in imgs:
+                mats[im][rng.rand(12) < 0.3] = 0.0
+            dets = [(im, rng.randint(0, 12),
+                     float(np.round(rng.rand(), 2)))
+                    for im in imgs for _ in range(rng.randint(0, 9))]
+            lookup = mats.__getitem__
+            got = compute_pr_for_class_multi(dets, gts, lookup, iou_list)
+            monkeypatch.setattr(NAT, "available", lambda: False)
+            want = compute_pr_for_class_multi(dets, gts, lookup, iou_list)
+            monkeypatch.undo()
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g[0], w[0])
+                np.testing.assert_array_equal(g[1], w[1])
+                assert g[2:] == w[2:]
