@@ -112,12 +112,15 @@ def _detect(args):
         paths = [os.path.join(args.input, f) for f in names]
         imgs = [_cv2.imread(p) for p in paths]
         ok = [(p, im) for p, im in zip(paths, imgs) if im is not None]
-        if args.stream:
-            # pipelined: map k+1's H2D transfer (throttled ~35 MB/s on
-            # this box) rides under map k's compute+fetch, and outputs
-            # are written per map as they complete — the fast path for
-            # LARGE maps (see TiledDetector.detect_stream)
-            results = det.detect_stream([im for _, im in ok])
+        if args.stream or args.chunk:
+            # pipelined: chunk k+1's H2D transfer (throttled ~35 MB/s on
+            # this box) rides under chunk k's compute+fetch, host fusion
+            # overlaps the next chunk's compute, and outputs are written
+            # per map as they complete — the fast path for LARGE maps
+            # (chunk=1) and, with --chunk N, for folders of similar-size
+            # maps (see TiledDetector.detect_stream)
+            results = det.detect_stream([im for _, im in ok],
+                                        chunk=max(1, args.chunk))
         else:
             # scale-grouped batching: one device program per scale
             # covers every image — the fast path for MANY SMALL maps
@@ -374,6 +377,12 @@ def main(argv=None):
                    help="pipelined per-map detection: the next map's "
                         "host->device transfer overlaps the current "
                         "map's compute (fastest for large maps)")
+    d.add_argument("--chunk", type=int, default=0,
+                   help="pipelined chunked detection: N maps per device "
+                        "program group, uploads and host fusion overlap "
+                        "neighboring chunks' compute (fastest for "
+                        "folders of similar-size maps; each distinct "
+                        "chunk image-shape set compiles its own program)")
     # the remaining Detect_OBB.py constants (`:33-40`)
     d.add_argument("--merge-iou", type=float, default=0.4,
                    help="merge NMS IoU (reference iou_threshold)")

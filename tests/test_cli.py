@@ -72,6 +72,21 @@ def test_detect_batch_mode(data_root, tmp_path, monkeypatch):
     assert sum(f.endswith(".xlsx") for f in outs) == 2
 
 
+def test_detect_chunked_stream_mode(data_root, tmp_path, monkeypatch):
+    """--chunk N drives the pipelined chunked stream; outputs match the
+    --batch layout (one jpg + xlsx per input)."""
+    monkeypatch.chdir(tmp_path)
+    out_dir = str(tmp_path / "outc")
+    cli.main([
+        "detect", "--input", str(data_root / "images" / "val"),
+        "--output", out_dir, "--ckpt416", "missing.ckpt",
+        "--scale", "n", "--batch", "--chunk", "2", "--allow-random",
+    ])
+    outs = os.listdir(out_dir)
+    assert sum(f.endswith("_detected.jpg") for f in outs) == 2
+    assert sum(f.endswith(".xlsx") for f in outs) == 2
+
+
 def test_detect_missing_named_checkpoint_errors(data_root, tmp_path,
                                                 monkeypatch):
     """A named-but-nonexistent checkpoint must error instead of silently
