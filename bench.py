@@ -228,6 +228,55 @@ def _t(fn):
     return time.time() - t0
 
 
+def _train_step_ms():
+    """Training-step device time for the reference's configuration —
+    yolo11x-obb, tile 416, batch 16, bf16 (`Train_OBB.py:27-29,792-841`)
+    — by the chained-K method: steps are data-dependent (state feeds the
+    next step) so K chained steps + one metrics fetch, minus a 1-step
+    run, cancels the fixed tunnel RPC (block_until_ready only acks
+    enqueue here; the fetch is the real execution barrier)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oriented_object_detection_tpu.config import TrainConfig
+    from oriented_object_detection_tpu.train import trainer as TR
+    from oriented_object_detection_tpu.train.loss import LossConfig
+
+    B, ts = 16, 416
+    cfg = TrainConfig(tile_size=ts, model_scale="x", channels=3,
+                      batch_size=B)
+    model, state, tx = TR.create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=100)
+    step_fn = TR.make_train_step(model, tx, cfg, LossConfig(img_size=ts))
+    rng = np.random.RandomState(0)
+    M = 16
+    boxes = np.zeros((B, M, 5), np.float32)
+    mask = np.zeros((B, M), bool)
+    boxes[:, 0] = [100, 100, 30, 20, 0.3]
+    mask[:, 0] = True
+    batch = {
+        "images": jnp.asarray(rng.rand(B, ts, ts, 3), jnp.float32),
+        "gt_labels": jnp.zeros((B, M), jnp.int32),
+        "gt_xywhr": jnp.asarray(boxes),
+        "gt_mask": jnp.asarray(mask),
+    }
+
+    def run(K):
+        nonlocal state
+        t0 = time.time()
+        m = None
+        for _ in range(K):
+            state, m = step_fn(state, batch)
+        np.asarray(m)          # execution barrier (real D2H)
+        return time.time() - t0
+
+    run(1)                     # compile + settle
+    t1 = np.median([run(1) for _ in range(3)])
+    t8 = np.median([run(8) for _ in range(3)])
+    step_ms = (t8 - t1) / 7 * 1000.0
+    return round(step_ms, 2), round(B / (step_ms / 1000.0), 1)
+
+
 def main():
     from oriented_object_detection_tpu.utils.runtime import (
         enable_compilation_cache)
@@ -347,6 +396,9 @@ def main():
 
     # ---- raw 4096^2 exact EDT device time (VERDICT r02 #1) -------------
     out["edt_4096_device_ms"] = _edt_4096_device_ms()
+
+    # ---- training-step throughput (reference train config) -------------
+    out["train_step_ms"], out["train_imgs_per_sec"] = _train_step_ms()
 
     out = {
         "metric": headline,
