@@ -104,7 +104,7 @@ def _detect(args):
     names = [f for f in sorted(os.listdir(args.input))
              if f.lower().endswith(
                  (".jpg", ".png", ".jpeg", ".tif", ".tiff"))]
-    if args.batch or args.stream:
+    if args.batch or args.stream or args.chunk:
         import cv2 as _cv2
 
         from .infer.pipeline import (draw_detections, export_xlsx)

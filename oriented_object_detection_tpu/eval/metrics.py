@@ -131,10 +131,7 @@ def compute_pr_for_class_multi(dets: list, gts: dict, iou_lookup,
 
     order = sorted(range(len(dets)), key=lambda i: -dets[i][2])
     tp = np.zeros((T, len(dets)))
-    matched = {img: np.zeros((T, len(v)), dtype=bool)
-               for img, v in gts.items()}
     gt_rows_np = {img: np.asarray(v, dtype=int) for img, v in gts.items()}
-    t_idx = np.arange(T)
 
     # native fast path: matching state is PER IMAGE, so the global
     # conf-ordered walk decomposes into independent per-image walks
@@ -161,6 +158,9 @@ def compute_pr_for_class_multi(dets: list, gts: dict, iou_lookup,
             tp[:, ranks] = tp_img
         return _pr_curves_from_tp(tp, npos, T)
 
+    matched = {img: np.zeros((T, len(v)), dtype=bool)
+               for img, v in gts.items()}
+    t_idx = np.arange(T)
     for rank, di in enumerate(order):
         img, det_idx, _ = dets[di]
         rows = gt_rows_np.get(img)

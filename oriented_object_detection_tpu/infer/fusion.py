@@ -132,12 +132,10 @@ def cross_scale_consensus_filter(
         return (rows[keep] if len(keep)
                 else np.zeros((0, DET_WIDTH), dtype=np.float64))
 
-    # one concatenated exact-IoU matrix across all scales
-    blocks = [filt[s] for s in scales]
-    offsets = np.cumsum([0] + [len(b) for b in blocks])
-    allc = (np.concatenate([b[:, :8] for b in blocks])
-            if sum(len(b) for b in blocks) else np.zeros((0, 8)))
-    iou_all = exact_iou_matrix_host(allc, allc)
+    # one concatenated exact-IoU matrix across all scales (`rows` above
+    # is the same concatenation the native path used)
+    offsets = np.cumsum([0] + [len(filt[s]) for s in scales])
+    iou_all = exact_iou_matrix_host(rows[:, :8], rows[:, :8])
 
     def off(s):
         return offsets[scales.index(s)]

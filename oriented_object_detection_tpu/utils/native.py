@@ -55,6 +55,21 @@ def _load():
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError as e:
+        # a stale prebuilt .so that predates newer symbols: honoring the
+        # "callers handle None" contract beats crashing mid-fallback
+        import sys
+
+        print(f"[native] {so} is missing symbols ({e}); ignoring it — "
+              "rebuild with `make -C native`", file=sys.stderr)
+        return None
+    _LIB = lib
+    return _LIB
+
+
+def _bind(lib):
     lib.quad_iou.restype = ctypes.c_double
     lib.quad_iou.argtypes = [ctypes.POINTER(ctypes.c_double)] * 2
     lib.quad_iou_matrix.restype = None
@@ -80,8 +95,6 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.POINTER(ctypes.c_ubyte)]
-    _LIB = lib
-    return _LIB
 
 
 def available() -> bool:

@@ -256,8 +256,8 @@ class TestResultsAPI:
 
 
 class TestValidPrefixFetch:
-    """Adaptive valid-prefix D2H (`TiledDetector._fetch_valid_prefix`):
-    metrics-mode packs are ~95% invalid padding and dataset-scale fetch
+    """Adaptive valid-prefix D2H (`TiledDetector._finish_valid_prefix`):
+    metrics-mode packs are ~90% invalid padding and dataset-scale fetch
     was D2H-volume-bound, so detect_images fetches only a bucketed
     valid-first prefix when the pack is large. Must be bit-identical to
     the single full fetch in every mode, across repeated chunks (hint
