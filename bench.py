@@ -10,6 +10,14 @@ random+density configuration when no checkpoints are present. Every
 metric reports p10/median/p90 over >= 7 reps (tunnel RPC hiccups make a
 bare median unverifiable).
 
+Golden-workload images are DEVICE-RESIDENT (uploaded once): the tunnel
+H2D link throttles to ~35 MB/s after any large program and its health
+varies ~2x day-to-day, so per-rep uploads of the same two images would
+measure link weather, not the framework (the r02 headline did exactly
+that). The `trained_fresh_h2d_*` row keeps a link-inclusive companion;
+the dataset-scale run (tools/detect_scale.py) is the honest
+fresh-upload throughput at production scale (pipelined, link-bound).
+
 Secondary metrics:
   * random+density dual-scale x-scale (device-path number comparable
     across rounds; cls biases CALIBRATED so a reference-like fraction of
@@ -325,9 +333,20 @@ def main():
         out.update(_spread_keys("trained", n_tiles, p10, med, p90))
         out["trained_weights"] = weights_t
         out["trained_det_counts"] = counts_t
+        # link-inclusive companion: fresh host arrays force a new H2D
+        # per rep, so this row carries the (highly day-variable) tunnel
+        # link on top of the pipeline rate above — r02's headline
+        # implicitly did this, hence the big cross-round jump
+        images_host = [np.asarray(im) for im in images]
+        p10, med_f, p90 = _time_reps(
+            lambda: det_t.detect_images(
+                [im.copy() for im in images_host]))
+        out.update(_spread_keys("trained_fresh_h2d", n_tiles,
+                                p10, med_f, p90))
         headline = ("golden dual-scale [128/30,416/100] TRAINED-ckpt "
                     "end-to-end tiles/sec (Test1+Test2 geometry, 236 "
-                    "tiles, full merge/consensus/fusion)")
+                    "tiles, full merge/consensus/fusion, device-resident "
+                    "inputs; trained_fresh_h2d_* adds per-rep upload)")
         headline_tps = n_tiles / med
         headline_weights = weights_t
     else:
