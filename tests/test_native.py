@@ -80,3 +80,33 @@ def test_grouped_nms_matches_per_group_loop():
             flat[flat[:, 11] == tid][:, :11], 0.4))
     ref = np.concatenate(rows)
     np.testing.assert_array_equal(got, ref)
+
+
+class TestStaleLibGuard:
+    def test_missing_symbols_degrade_to_none(self, monkeypatch):
+        """A prebuilt libgeomobb.so that predates newer symbols must make
+        the loader return None (callers fall back to Python paths), not
+        crash with AttributeError mid-binding."""
+        from oriented_object_detection_tpu.utils import native as NAT
+
+        class _OldLib:
+            quad_iou = None  # object() has no ctypes attrs at all
+
+            def __getattr__(self, name):
+                raise AttributeError(f"undefined symbol: {name}")
+
+        monkeypatch.setattr(NAT, "_TRIED", False)
+        monkeypatch.setattr(NAT, "_LIB", None)
+        monkeypatch.setattr(NAT.subprocess, "run",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(NAT.ctypes, "CDLL", lambda so: _OldLib())
+        monkeypatch.setattr(NAT.os.path, "exists", lambda p: True)
+        assert NAT._load() is None
+        assert NAT.available() is False
+        assert NAT.consensus_filter(
+            np.zeros((1, 11)), np.zeros(1, np.int32), 0.4, 0.25,
+            0.7) is None
+        # restore module cache for subsequent tests in this process
+        monkeypatch.undo()
+        NAT._TRIED = False
+        NAT._LIB = None
