@@ -130,8 +130,9 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
         # fallback (runs/ is gitignored and cleaned between sessions,
         # which silently dropped the trained headline once — the asset
         # keeps the full-pipeline headline measurable from a fresh clone)
-        cands = [f"runs/obb/train{sc.tile_size}/best.ckpt",
-                 f"assets/bench_ckpts/train{sc.tile_size}.ckpt"]
+        sfx = "" if cfg.channels == 3 else f"_{cfg.channels}ch"
+        cands = [f"runs/obb/train{sc.tile_size}{sfx}/best.ckpt",
+                 f"assets/bench_ckpts/train{sc.tile_size}{sfx}.ckpt"]
         if use_ckpt:
             ck = next((c for c in cands if os.path.exists(c)), None)
             if ck is None:
@@ -418,6 +419,21 @@ def main():
     det4.detect_images(batch)            # warmup/compile
     p10, med, p90 = _time_reps(lambda: det4.detect_images(batch))
     out.update(_spread_keys("dtedge_4ch_416", batch_tiles, p10, med, p90))
+    # (c) trained 4ch checkpoint (realistic density through the DT-Edge
+    # channel + merge), when the distilled asset is present
+    det4t, weights4t = _build_detector(cfg4, calibrate=False,
+                                       use_ckpt=True)
+    if det4t is not None:
+        counts4 = [len(r["merged_for_pr"])
+                   for r in det4t.detect_images(batch)]
+        p10, med, p90 = _time_reps(lambda: det4t.detect_images(batch))
+        out.update(_spread_keys("dtedge_4ch_416_trained", batch_tiles,
+                                p10, med, p90))
+        out["dtedge_4ch_416_trained_weights"] = weights4t
+        out["dtedge_4ch_416_trained_dets"] = int(np.sum(counts4))
+    else:
+        print(f"[bench] 4ch trained section skipped: {weights4t}",
+              file=sys.stderr)
 
     # ---- dataset-scale pipelined stream (production shape) -------------
     # 40x 1000^2 maps, metrics mode, chunked stream from FRESH host

@@ -86,3 +86,32 @@ class TestDistill:
         det, reason = bench._build_detector(cfg, calibrate=False,
                                             use_ckpt=True)
         assert det is None and "missing" in reason
+
+    def test_bench_4ch_suffix_lookup(self, tmp_path, monkeypatch):
+        """Non-3ch configs look for channel-suffixed assets
+        (train{ts}_4ch.ckpt) so a 4ch checkpoint can never be applied to
+        a 3ch stem by name collision."""
+        cfg4 = TrainConfig(tile_size=64, model_scale="n", channels=4,
+                           compute_dtype="float32")
+        _, state, _ = TR.create_train_state(cfg4, jax.random.PRNGKey(1))
+        src = str(tmp_path / "best.ckpt")
+        TR.save_checkpoint(src, state, {"model_scale": "n", "channels": 4,
+                                        "tile_size": 64})
+        monkeypatch.chdir(tmp_path)
+        distill(src, str(tmp_path / "assets/bench_ckpts/train64_4ch.ckpt"))
+
+        import bench
+        from oriented_object_detection_tpu.config import (DetectConfig,
+                                                          ScaleConfig)
+
+        cfg = DetectConfig(scales=(ScaleConfig(64, 16, model_scale="n"),),
+                           channels=4, compute_dtype="float32")
+        det, weights = bench._build_detector(cfg, calibrate=False,
+                                             use_ckpt=True)
+        assert det is not None and "ckpt[n]" in weights
+        # and the unsuffixed 3ch config must NOT pick the 4ch asset up
+        cfg3 = DetectConfig(scales=(ScaleConfig(64, 16, model_scale="n"),),
+                            channels=3, compute_dtype="float32")
+        det3, reason = bench._build_detector(cfg3, calibrate=False,
+                                             use_ckpt=True)
+        assert det3 is None and "missing" in reason
