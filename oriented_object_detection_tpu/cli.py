@@ -112,21 +112,35 @@ def _detect(args):
         paths = [os.path.join(args.input, f) for f in names]
         imgs = [_cv2.imread(p) for p in paths]
         ok = [(p, im) for p, im in zip(paths, imgs) if im is not None]
-        if args.stream or args.chunk:
-            # pipelined: chunk k+1's H2D transfer (throttled ~35 MB/s on
-            # this box) rides under chunk k's compute+fetch, host fusion
-            # overlaps the next chunk's compute, and outputs are written
-            # per map as they complete — the fast path for LARGE maps
-            # (chunk=1) and, with --chunk N, for folders of similar-size
-            # maps (see TiledDetector.detect_stream)
-            results = det.detect_stream([im for _, im in ok],
-                                        chunk=max(1, args.chunk))
+        if args.chunk:
+            # pipelined chunked stream, grouped by image shape: every
+            # distinct chunk image-shape set compiles its own device
+            # program (~20-90 s through the remote-compile tunnel), so
+            # same-shape maps are grouped into full chunks (short tails
+            # padded with a repeat — padded results are discarded by the
+            # zip below) and each shape compiles exactly once
+            def chunked_results():
+                by_shape: dict = {}
+                for p, im in ok:
+                    by_shape.setdefault(im.shape, []).append((p, im))
+                for group in by_shape.values():
+                    imgs_g = [im for _, im in group]
+                    pad = (-len(imgs_g)) % args.chunk
+                    res_g = det.detect_stream(imgs_g + [imgs_g[-1]] * pad,
+                                              chunk=args.chunk)
+                    yield from zip(group, res_g)
+            pairs = chunked_results()
+        elif args.stream:
+            # pipelined per-map: map k+1's H2D transfer (throttled
+            # ~35 MB/s on this box) rides under map k's compute+fetch —
+            # the fast path for LARGE maps
+            pairs = zip(ok, det.detect_stream([im for _, im in ok]))
         else:
             # scale-grouped batching: one device program per scale
             # covers every image — the fast path for MANY SMALL maps
             # (amortizes the fixed per-program tunnel RPC)
-            results = det.detect_images([im for _, im in ok])
-        for (p, im), res in zip(ok, results):
+            pairs = zip(ok, det.detect_images([im for _, im in ok]))
+        for (p, im), res in pairs:
             stem = os.path.splitext(os.path.basename(p))[0]
             merged = res["merged_for_pr"]
             _cv2.imwrite(os.path.join(args.output,
@@ -380,9 +394,9 @@ def main(argv=None):
     d.add_argument("--chunk", type=int, default=0,
                    help="pipelined chunked detection: N maps per device "
                         "program group, uploads and host fusion overlap "
-                        "neighboring chunks' compute (fastest for "
-                        "folders of similar-size maps; each distinct "
-                        "chunk image-shape set compiles its own program)")
+                        "neighboring chunks' compute (fastest for map "
+                        "folders; inputs are grouped by image shape so "
+                        "each distinct shape compiles one program)")
     # the remaining Detect_OBB.py constants (`:33-40`)
     d.add_argument("--merge-iou", type=float, default=0.4,
                    help="merge NMS IoU (reference iou_threshold)")

@@ -73,18 +73,27 @@ def test_detect_batch_mode(data_root, tmp_path, monkeypatch):
 
 
 def test_detect_chunked_stream_mode(data_root, tmp_path, monkeypatch):
-    """--chunk N drives the pipelined chunked stream; outputs match the
-    --batch layout (one jpg + xlsx per input)."""
+    """--chunk N drives the pipelined chunked stream over MIXED-SIZE
+    inputs: images are grouped by shape (one compiled program per
+    shape), short tails are padded with a repeat, and every real input
+    still gets its jpg + xlsx (padded results discarded)."""
+    rng = np.random.RandomState(9)
+    in_dir = tmp_path / "mixed"
+    in_dir.mkdir()
+    for name, (h, w) in [("a0.png", (160, 200)), ("a1.png", (160, 200)),
+                         ("a2.png", (160, 200)), ("b0.png", (120, 150))]:
+        cv2.imwrite(str(in_dir / name),
+                    rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
     monkeypatch.chdir(tmp_path)
     out_dir = str(tmp_path / "outc")
     cli.main([
-        "detect", "--input", str(data_root / "images" / "val"),
+        "detect", "--input", str(in_dir),
         "--output", out_dir, "--ckpt416", "missing.ckpt",
-        "--scale", "n", "--batch", "--chunk", "2", "--allow-random",
+        "--scale", "n", "--chunk", "2", "--allow-random",
     ])
     outs = os.listdir(out_dir)
-    assert sum(f.endswith("_detected.jpg") for f in outs) == 2
-    assert sum(f.endswith(".xlsx") for f in outs) == 2
+    assert sum(f.endswith("_detected.jpg") for f in outs) == 4
+    assert sum(f.endswith(".xlsx") for f in outs) == 4
 
 
 def test_detect_missing_named_checkpoint_errors(data_root, tmp_path,
