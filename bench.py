@@ -132,28 +132,43 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
         # keeps the full-pipeline headline measurable from a fresh clone)
         sfx = "" if cfg.channels == 3 else f"_{cfg.channels}ch"
         cands = [f"runs/obb/train{sc.tile_size}{sfx}/best.ckpt",
+                 f"runs/obb/train{sc.tile_size}/best.ckpt",
                  f"assets/bench_ckpts/train{sc.tile_size}{sfx}.ckpt"]
         if use_ckpt:
-            ck = next((c for c in cands if os.path.exists(c)), None)
-            if ck is None:
-                return None, f"missing {' and '.join(cands)}"
             from oriented_object_detection_tpu.train.trainer import (
                 load_checkpoint)
-            ckd = load_checkpoint(ck)
+
+            # first candidate whose recorded arch MATCHES the config —
+            # a mismatching live run dir (e.g. a 4ch training left in the
+            # unsuffixed default ckpt-dir) falls through to the committed
+            # assets instead of disabling the trained sections
+            ckd, reasons = None, []
+            for c in dict.fromkeys(cands):
+                if not os.path.exists(c):
+                    reasons.append(f"{c}: missing")
+                    continue
+                d = load_checkpoint(c)
+                extra = d.get("extra", {})
+                ck_ts = extra.get("tile_size", sc.tile_size)
+                ck_ch = extra.get("channels", cfg.channels)
+                if ck_ts != sc.tile_size:
+                    reasons.append(f"{c}: tile_size {ck_ts} != "
+                                   f"{sc.tile_size}")
+                    continue
+                if ck_ch != cfg.channels:
+                    reasons.append(f"{c}: channels {ck_ch} != "
+                                   f"{cfg.channels}")
+                    continue
+                ckd = d
+                break
+            if ckd is None:
+                return None, "; ".join(reasons)
             if ckd.get("extra", {}).get("distilled_fp16"):
                 ckd["params"] = jax.tree.map(
                     lambda a: a.astype(np.float32)
                     if getattr(a, "dtype", None) == np.float16 else a,
                     ckd["params"])
             extra = ckd.get("extra", {})
-            ck_ts = extra.get("tile_size", sc.tile_size)
-            ck_ch = extra.get("channels", cfg.channels)
-            if ck_ts != sc.tile_size:
-                return None, (f"{ck} trained at tile_size {ck_ts}, "
-                              f"config wants {sc.tile_size}")
-            if ck_ch != cfg.channels:
-                return None, (f"{ck} trained with {ck_ch} channels, "
-                              f"config wants {cfg.channels}")
             sc = dataclasses.replace(
                 sc, model_scale=extra.get("model_scale", sc.model_scale))
             p = ckd["ema_params"] if ckd.get("ema_params") is not None \
@@ -436,7 +451,7 @@ def main():
               file=sys.stderr)
 
     # ---- dataset-scale pipelined stream (production shape) -------------
-    # 40x 1000^2 maps, metrics mode, chunked stream from FRESH host
+    # 80x 1000^2 maps, metrics mode, chunked stream from FRESH host
     # arrays: the honest link-inclusive production throughput (the run
     # is H2D-link-bound; uploads pipeline under compute). Full 100-map
     # run + eval suite: tools/detect_scale.py / detect_scale_r03.json.
@@ -447,7 +462,7 @@ def main():
                                        use_ckpt=True)
     if det_m is None:
         det_m, weights_m = _build_detector(cfg_m, calibrate=True)
-    ds_chunk, ds_nchunks = 10, 4
+    ds_chunk, ds_nchunks = 10, 8   # 7 post-fill intervals (>= 7-rep rule)
     ds_maps = [gen_map(rng, H=1000, W=1000, n_obj=40)[0]
                for _ in range(ds_chunk * ds_nchunks)]
     ds_tiles = 100 + 9                   # per 1000^2 map at [128/30,416/100]

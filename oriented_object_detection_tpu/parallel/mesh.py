@@ -83,16 +83,15 @@ def shard_model(tree, mesh: Mesh):
 
 def shard_train_state(state, mesh: Mesh):
     """Lay out a TrainState for (data, model) training: params, EMA and
-    SGD momentum weight-sharded over `model`; batch_stats / step / sched
-    replicated (fields mirror train.trainer.TrainState, duck-typed to
-    avoid the import cycle). Each big tree is put with its final layout
-    directly — replicating first would transiently materialize n_model
-    full copies of exactly the trees this function exists to shard.
-    With n_model == 1 this degrades to full replication."""
-    return state.replace(
-        step=replicate(state.step, mesh),
-        batch_stats=replicate(state.batch_stats, mesh),
-        sched=replicate(state.sched, mesh),
+    SGD momentum weight-sharded over `model`; every other field (known
+    or future — the state is slimmed, not enumerated) replicated. The
+    big trees are put with their final layout directly: replicating them
+    first would transiently materialize n_model full copies of exactly
+    the trees this function exists to shard. With n_model == 1 this
+    degrades to full replication."""
+    slim = state.replace(params=(), ema_params=(), opt_state=())
+    repl = replicate(slim, mesh)  # generic over any OTHER/future field
+    return repl.replace(
         params=shard_model(state.params, mesh),
         ema_params=shard_model(state.ema_params, mesh),
         opt_state=shard_model(state.opt_state, mesh))

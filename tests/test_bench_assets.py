@@ -115,3 +115,30 @@ class TestDistill:
         det3, reason = bench._build_detector(cfg3, calibrate=False,
                                              use_ckpt=True)
         assert det3 is None and "missing" in reason
+
+    def test_mismatched_live_run_falls_through_to_asset(self, tiny_ckpt,
+                                                        tmp_path,
+                                                        monkeypatch):
+        """A 4ch training left in the UNSUFFIXED default run dir must not
+        disable the 3ch trained sections: the arch-mismatch candidate is
+        skipped and the matching committed asset wins."""
+        src3, _ = tiny_ckpt
+        cfg4 = TrainConfig(tile_size=64, model_scale="n", channels=4,
+                           compute_dtype="float32")
+        _, st4, _ = TR.create_train_state(cfg4, jax.random.PRNGKey(2))
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("runs/obb/train64", exist_ok=True)
+        TR.save_checkpoint("runs/obb/train64/best.ckpt", st4,
+                           {"model_scale": "n", "channels": 4,
+                            "tile_size": 64})
+        distill(src3, str(tmp_path / "assets/bench_ckpts/train64.ckpt"))
+
+        import bench
+        from oriented_object_detection_tpu.config import (DetectConfig,
+                                                          ScaleConfig)
+
+        cfg = DetectConfig(scales=(ScaleConfig(64, 16, model_scale="n"),),
+                           channels=3, compute_dtype="float32")
+        det, weights = bench._build_detector(cfg, calibrate=False,
+                                             use_ckpt=True)
+        assert det is not None and "ckpt[n]" in weights

@@ -44,11 +44,8 @@ def main():
         f = jnp.minimum(d0, INF) ** 2
         W = f.shape[-1]
         pad_r = (-W) % chunk
-        fp = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + (B, B + pad_r),
-                     constant_values=INF) \
-            if False else jnp.pad(
-                f, [(0, 0)] * (f.ndim - 1) + [(B, B + pad_r)],
-                constant_values=INF)
+        fp = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(B, B + pad_r)],
+                     constant_values=INF)
         nchunks = (W + pad_r) // chunk
         k_rel = jnp.arange(chunk + 2 * B, dtype=jnp.float32) - B
         j_loc = jnp.arange(chunk, dtype=jnp.float32)
@@ -75,10 +72,8 @@ def main():
     tiles = np.stack([
         gen_map(rng, H=416, W=416, n_obj=12)[0] for _ in range(8)])
     x = jnp.asarray(np.tile(tiles, (16, 1, 1, 1)))  # [128, 416, 416, 3]
-    cfgd = DT.DTEdgeConfig() if hasattr(DT, "DTEdgeConfig") else None
-    if cfgd is None:
-        from oriented_object_detection_tpu.config import DTEdgeConfig
-        cfgd = DTEdgeConfig()
+    from oriented_object_detection_tpu.config import DTEdgeConfig
+    cfgd = DTEdgeConfig()
 
     @jax.jit
     def edge_masks(a):
