@@ -194,7 +194,8 @@ def _train(args):
         # channels==4 implies the DT-Edge TIFF build: the 4ch stem needs
         # 4ch inputs (`Train_OBB.py:763-787` gates on APPLY_FILTERED_RGB;
         # our flag mirrors it but defaults on for 4ch training)
-        apply_filtered_rgb=args.channels == 4 or args.filtered_rgb)
+        apply_filtered_rgb=args.channels == 4 or args.filtered_rgb,
+        steps_per_dispatch=args.steps_per_dispatch)
     if args.close_mosaic is not None:
         cfg = dataclasses.replace(cfg, close_mosaic=args.close_mosaic)
 
@@ -419,6 +420,12 @@ def main(argv=None):
     t.add_argument("--batch-size", type=int, default=16)
     t.add_argument("--channels", type=int, default=3, choices=(3, 4))
     t.add_argument("--scale", default="x")
+    t.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimizer steps per device program (lax.scan "
+                        "over a stacked batch group): each separate "
+                        "program dispatch costs ~10 ms of tunnel "
+                        "turnaround on this box — 8 is ~16% faster "
+                        "steps; 1 = one program per step")
     t.add_argument("--skip-cropping", action="store_true")
     t.add_argument("--skip-augmentation", action="store_true")
     t.add_argument("--filtered-rgb", action="store_true",

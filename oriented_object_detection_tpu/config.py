@@ -148,6 +148,12 @@ class TrainConfig:
     # parallelism
     data_axis: str = "data"
     compute_dtype: str = "bfloat16"
+    # dispatch K optimizer steps per device program (lax.scan over a
+    # stacked batch group): each separate program dispatch costs ~10 ms
+    # of tunnel turnaround on this box (tools/profile/train_multistep.py:
+    # 59.6 -> 50.0 ms/step at K=8 for x-416-b16). 1 = one program per
+    # step (always used under a multi-device mesh)
+    steps_per_dispatch: int = 1
 
 
 def _preset_detect(**kw) -> DetectConfig:
