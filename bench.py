@@ -298,7 +298,27 @@ def _train_step_ms():
     t1 = np.median([run(1) for _ in range(3)])
     t8 = np.median([run(8) for _ in range(3)])
     step_ms = (t8 - t1) / 7 * 1000.0
-    return round(step_ms, 2), round(B / (step_ms / 1000.0), 1)
+
+    # scan-8 dispatch (make_train_step_multi): amortizes the ~10 ms
+    # per-program tunnel turnaround the python-loop number carries
+    m8 = TR.make_train_step_multi(step_fn, 8)
+    group = TR.stack_batches([batch] * 8)
+
+    def run_m(K):
+        nonlocal state
+        t0 = time.time()
+        ms = None
+        for _ in range(K):
+            state, ms = m8(state, group)
+        np.asarray(ms)
+        return time.time() - t0
+
+    run_m(1)                   # compile + settle
+    t1m = np.median([run_m(1) for _ in range(3)])
+    t3m = np.median([run_m(3) for _ in range(3)])
+    scan_ms = (t3m - t1m) / 2 / 8 * 1000.0
+    return (round(step_ms, 2), round(B / (step_ms / 1000.0), 1),
+            round(scan_ms, 2), round(B / (scan_ms / 1000.0), 1))
 
 
 def main():
@@ -482,7 +502,9 @@ def main():
     out["edt_4096_device_ms"] = _edt_4096_device_ms()
 
     # ---- training-step throughput (reference train config) -------------
-    out["train_step_ms"], out["train_imgs_per_sec"] = _train_step_ms()
+    (out["train_step_ms"], out["train_imgs_per_sec"],
+     out["train_scan8_step_ms"],
+     out["train_scan8_imgs_per_sec"]) = _train_step_ms()
 
     out = {
         "metric": headline,

@@ -421,11 +421,11 @@ def main(argv=None):
     t.add_argument("--channels", type=int, default=3, choices=(3, 4))
     t.add_argument("--scale", default="x")
     t.add_argument("--steps-per-dispatch", type=int, default=1,
-                   help="optimizer steps per device program (lax.scan "
-                        "over a stacked batch group): each separate "
-                        "program dispatch costs ~10 ms of tunnel "
-                        "turnaround on this box — 8 is ~16% faster "
-                        "steps; 1 = one program per step")
+                   help="optimizer steps per device program (scan over "
+                        "a stacked batch group); measured perf-neutral "
+                        "on this box, an opt-in for environments with "
+                        "real per-dispatch overhead. 1 = one program "
+                        "per step")
     t.add_argument("--skip-cropping", action="store_true")
     t.add_argument("--skip-augmentation", action="store_true")
     t.add_argument("--filtered-rgb", action="store_true",

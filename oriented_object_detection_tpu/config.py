@@ -148,10 +148,11 @@ class TrainConfig:
     # parallelism
     data_axis: str = "data"
     compute_dtype: str = "bfloat16"
-    # dispatch K optimizer steps per device program (lax.scan over a
-    # stacked batch group): each separate program dispatch costs ~10 ms
-    # of tunnel turnaround on this box (tools/profile/train_multistep.py:
-    # 59.6 -> 50.0 ms/step at K=8 for x-416-b16). 1 = one program per
+    # dispatch K optimizer steps per device program (scan over a
+    # stacked batch group). Measured perf-NEUTRAL on this box — the
+    # per-program dispatch overhead is negligible
+    # (tools/profile/train_multistep.py) — kept as an opt-in for
+    # environments where dispatch costs are real. 1 = one program per
     # step (always used under a multi-device mesh)
     steps_per_dispatch: int = 1
 

@@ -213,17 +213,23 @@ def make_train_step(model: YOLO11OBB, tx, cfg: TrainConfig,
 def make_train_step_multi(step_fn, n_steps: int):
     """K optimizer steps in ONE device program: lax.scan of `step_fn`
     (from make_train_step) over a batch group whose leaves carry a
-    leading [n_steps] axis. Each separate program dispatch costs ~10 ms
-    of tunnel turnaround on this box (tools/profile/train_multistep.py),
-    so grouping steps buys ~16% train throughput at K=8. Semantics are
-    the step_fn's own, iterated — the schedule advances per inner step
-    via state.step as usual. Returns (new_state, metrics [n_steps, K])."""
+    leading [n_steps] axis. Measured perf-NEUTRAL on this box
+    (59.6 ms/step either way at K=8, x-416-b16: per-program dispatch
+    overhead is negligible; an earlier probe's 50 ms/step was XLA
+    CSE-ing batch-fixed work across steps fed the SAME traced batch —
+    tools/profile/train_multistep.py). Kept as an opt-in for
+    environments with real per-dispatch cost. Semantics are the
+    step_fn's own, iterated — the schedule advances per inner step via
+    state.step as usual. Returns (new_state, metrics [n_steps, K])."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def multi_step(state, batches):
         def body(s, b):
             return step_fn(s, b)
-        return jax.lax.scan(body, state, batches, length=n_steps)
+        # unrolled: n_steps is small + static, and the rolled loop
+        # form cannot schedule across iteration boundaries
+        return jax.lax.scan(body, state, batches, length=n_steps,
+                            unroll=True)
 
     return multi_step
 

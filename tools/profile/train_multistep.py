@@ -1,5 +1,15 @@
 """Per-program dispatch overhead in the training loop.
 
+VERDICT (2026-08-18): the one-program 50.0 ms/step below is an
+ARTIFACT — the unrolled steps all consume the SAME traced batch value,
+so XLA CSEs the batch-fixed work across steps. With distinct batch
+slices (stack_batches group, the real training case) the 8-step
+program measures 59.6 ms/step, equal to the python loop: per-program
+dispatch overhead on this box is negligible, and multi-step dispatch
+(TrainConfig.steps_per_dispatch) is perf-neutral here. Lesson for
+chained-K microbenchmarks: feed DISTINCT traced inputs per iteration
+or the chain under-measures.
+
 opt_stage.py showed sgd+EMA is ~free on device, yet the python-loop
 train step measures ~59 ms vs ~35 ms for value_and_grad alone — the gap
 is per-PROGRAM turnaround through the tunnel, not device work. Compare:
