@@ -110,7 +110,15 @@ def obb_loss(
          jnp.zeros((B, A, 1), t_boxes_grid.dtype)], axis=-1)
     t_boxes_grid = jnp.where(fg[..., None], t_boxes_grid, dummy)
     weight = t_scores.sum(-1)                          # [B, A]
-    iou = G.probiou(pred_rbox_grid, t_boxes_grid)
+    # PREDICTED boxes at non-fg anchors need the same substitution: a
+    # degenerate prediction (w or h ~ 0 from the DFL expectation) makes
+    # probiou NaN there, and although the primal is masked out below,
+    # `where` still backprops 0 * nan = NaN through the false branch —
+    # which silently NaN'd params on batches whose assignment came up
+    # empty. The engine never sees these lanes (it gathers fg pairs
+    # only), so substituting is semantics-exact.
+    pred_used = jnp.where(fg[..., None], pred_rbox_grid, dummy)
+    iou = G.probiou(pred_used, t_boxes_grid)
     loss_box = jnp.where(fg, (1.0 - iou) * weight, 0.0).sum() / score_sum
 
     # --- DFL on axis-aligned ltrb of the target box (grid units) ---

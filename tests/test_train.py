@@ -415,3 +415,39 @@ class TestMultiStepDispatch:
         ck = TR.load_checkpoint(str(tmp_path / "last.ckpt"))
         assert int(ck["step"]) == 10  # 2 epochs x (2+2+1 tail)
         assert (tmp_path / "best.ckpt").exists()
+
+
+class TestEmptyBatchGradients:
+    def test_zero_fg_batch_keeps_loss_and_grads_finite(self):
+        """All-empty batch (gt_mask all False — empty tiles are a real
+        part of the training recipe, `Train_OBB.py:149-226`): loss AND
+        gradients must stay finite. Regression for the where-VJP trap:
+        probiou of a degenerate PREDICTED box at a non-fg anchor
+        backprops 0 * nan = NaN even though the primal is masked."""
+        cfg = TrainConfig(tile_size=32, model_scale="n",
+                          compute_dtype="float32", epochs=1)
+        model, state, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(7), steps_per_epoch=4)
+        step_fn = TR.make_train_step(model, tx, cfg,
+                                     LossConfig(img_size=32))
+        rng = np.random.RandomState(8)
+        M = 4
+        batch = {
+            "images": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+            "gt_labels": jnp.zeros((2, M), jnp.int32),
+            "gt_xywhr": jnp.zeros((2, M, 5), jnp.float32),
+            "gt_mask": jnp.zeros((2, M), bool),
+        }
+        st, m = step_fn(state, batch)
+        md = TR.metrics_dict(m)
+        assert md["fg_count"] == 0
+        assert np.isfinite(md["loss"]), md
+        for leaf in jax.tree.leaves(st.params):
+            assert np.isfinite(np.asarray(leaf)).all()
+        # and a NORMAL batch right after stays healthy (params unpoisoned)
+        batch2 = dict(batch)
+        batch2["gt_xywhr"] = jnp.asarray(
+            np.tile([[16.0, 16, 8, 6, 0.2]], (2, M, 1)).astype(np.float32))
+        batch2["gt_mask"] = jnp.ones((2, M), bool)
+        _, m2 = step_fn(st, batch2)
+        assert np.isfinite(TR.metrics_dict(m2)["loss"])
