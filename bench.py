@@ -61,49 +61,11 @@ DENSITY_TARGET = 0.01
 REPS = 7
 
 
-def _calibrate_density(model, variables, tile_size, channels, target):
-    """Shift every cls-branch bias so `target` of anchors land at conf
-    ~0.45 (comfortably above the 0.25 predict threshold).
-
-    Random init emits an almost-constant tiny conf everywhere (sparse
-    bias init, near-zero logit variance), so the shifted tail must be
-    pinned WELL above the threshold: pinning it at exactly 0.25 collapses
-    under bf16 rounding on TPU (every score quantizes to the threshold
-    and the > comparison drops all of them — observed as det_counts
-    [0, 0] in the first r02 bench run). The shifted anchors exercise
-    per-tile NMS + host merge with reference-like density; the consensus
-    stage still drops most (random boxes have no cross-scale partners —
-    its sequential scan is exercised, its output is near-empty)."""
-    import jax
-    import jax.numpy as jnp
-
-    from oriented_object_detection_tpu.models import decode as D
-
-    rng = np.random.RandomState(7)
-    x = jnp.asarray(rng.randint(0, 255, (8, tile_size, tile_size,
-                                         channels)) / 255.0, jnp.float32)
-
-    @jax.jit
-    def fwd(v, xx):
-        # must be jitted: an eager x-scale forward dispatches hundreds of
-        # per-op tunnel RPCs on this box and stalls for minutes
-        return D.decode_raw(model.apply(v, xx), tile_size)[1]
-
-    scores = fwd(variables, x)
-    s = np.asarray(scores, np.float64).reshape(-1)
-    s = np.clip(s, 1e-9, 1 - 1e-9)
-    logits = np.log(s / (1 - s))
-    thr_logit = float(np.log(0.45 / 0.55))
-    offset = thr_logit - float(np.quantile(logits, 1.0 - target))
-
-    def shift(path, leaf):
-        keys = [getattr(k, "key", "") for k in path]
-        if any(str(k).startswith("cv3_") and str(k).endswith("_2")
-               for k in keys) and str(keys[-1]) == "bias":
-            return leaf + offset
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(shift, variables)
+# _calibrate_density moved into the package (models/calibrate.py) so the
+# sharded-inference parity tests and __graft_entry__.dryrun_multichip can
+# produce non-vacuous (nonzero) detection sets from random init too.
+from oriented_object_detection_tpu.models.calibrate import (  # noqa: E402
+    calibrate_density as _calibrate_density)
 
 
 def _build_detector(cfg, calibrate, use_ckpt=False):
@@ -163,11 +125,8 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
                 break
             if ckd is None:
                 return None, "; ".join(reasons)
-            if ckd.get("extra", {}).get("distilled_fp16"):
-                ckd["params"] = jax.tree.map(
-                    lambda a: a.astype(np.float32)
-                    if getattr(a, "dtype", None) == np.float16 else a,
-                    ckd["params"])
+            # fp16->fp32 upcast of distilled assets happens inside
+            # load_checkpoint now (every consumer gets fp32 params)
             extra = ckd.get("extra", {})
             sc = dataclasses.replace(
                 sc, model_scale=extra.get("model_scale", sc.model_scale))
@@ -295,9 +254,13 @@ def _train_step_ms():
         return time.time() - t0
 
     run(1)                     # compile + settle
-    t1 = np.median([run(1) for _ in range(3)])
-    t8 = np.median([run(8) for _ in range(3)])
-    step_ms = (t8 - t1) / 7 * 1000.0
+    t1 = np.median([run(1) for _ in range(7)])
+    t8 = np.median([run(8) for _ in range(7)])
+    # medians of 7 per the repo-wide rep rule; still clamp — a tunnel
+    # RPC hiccup landing in the 1-step runs can make the difference
+    # nonpositive and the JSON contract must not emit absurd values
+    # (ADVICE r03 #2)
+    step_ms = max((t8 - t1) / 7 * 1000.0, 1e-3)
 
     # scan-8 dispatch (make_train_step_multi): amortizes the ~10 ms
     # per-program tunnel turnaround the python-loop number carries
@@ -314,9 +277,9 @@ def _train_step_ms():
         return time.time() - t0
 
     run_m(1)                   # compile + settle
-    t1m = np.median([run_m(1) for _ in range(3)])
-    t3m = np.median([run_m(3) for _ in range(3)])
-    scan_ms = (t3m - t1m) / 2 / 8 * 1000.0
+    t1m = np.median([run_m(1) for _ in range(7)])
+    t3m = np.median([run_m(3) for _ in range(7)])
+    scan_ms = max((t3m - t1m) / 2 / 8 * 1000.0, 1e-3)
     return (round(step_ms, 2), round(B / (step_ms / 1000.0), 1),
             round(scan_ms, 2), round(B / (scan_ms / 1000.0), 1))
 

@@ -18,6 +18,7 @@ Detections are [N, 11] rows (x1..y4, cls, conf, angle); GTs [M, 9]
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Callable, Iterable
 
 import numpy as np
@@ -30,12 +31,21 @@ from ..utils import xlsx
 
 
 class GTCache:
-    """Per-image GT cache with a memoized det-vs-gt IoU matrix."""
+    """Per-image GT cache with a memoized det-vs-gt IoU matrix.
+
+    The memo key is the raw det-corner bytes (not a 64-bit `hash()` of
+    them — a hash collision between two det arrays for the same image
+    would silently serve the wrong IoU matrix to every downstream
+    metric). Bounded LRU so a long-lived process doing dataset-scale
+    eval does not hold one matrix per image forever.
+    """
+
+    IOU_CACHE_MAX = 256
 
     def __init__(self, loader: Callable[[str], np.ndarray] | None = None):
         self.loader = loader or L.load_gt_as_pixels
         self._gt: dict[str, np.ndarray] = {}
-        self._iou: dict[int, np.ndarray] = {}
+        self._iou: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
     def gt(self, image_path: str) -> np.ndarray:
         if image_path not in self._gt:
@@ -46,11 +56,17 @@ class GTCache:
         """[N_det, N_gt] exact IoU, memoized on (image, det content)."""
         arr = np.ascontiguousarray(
             np.asarray(dets, dtype=np.float64)[:, :8])
-        key = (image_path, hash(arr.tobytes()))
-        if key not in self._iou:
-            gts = self.gt(image_path)
-            self._iou[key] = exact_iou_matrix_host(arr, gts[:, 1:])
-        return self._iou[key]
+        key = (image_path, arr.shape, arr.tobytes())
+        hit = self._iou.get(key)
+        if hit is not None:
+            self._iou.move_to_end(key)
+            return hit
+        gts = self.gt(image_path)
+        mat = exact_iou_matrix_host(arr, gts[:, 1:])
+        self._iou[key] = mat
+        while len(self._iou) > self.IOU_CACHE_MAX:
+            self._iou.popitem(last=False)
+        return mat
 
 
 def prec_rec_f1(tp: float, fp: float, fn: float):

@@ -260,8 +260,19 @@ def save_checkpoint(path: str, state: TrainState, extra: dict | None = None):
 
 
 def load_checkpoint(path: str) -> dict:
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    ck = pickle.load(open(path, "rb"))
+    # Distilled committed assets (tools/distill_bench_ckpt.py) store
+    # params in float16 to stay small. Upcast HERE so every consumer —
+    # `oodt detect --ckpt416 assets/...`, bench, tests — gets fp32
+    # params (fp16 x bf16 promotes per-op to f32, off the compute-dtype
+    # contract and slower on TPU). ADVICE r03 #1.
+    if ck.get("extra", {}).get("distilled_fp16"):
+        up = lambda a: a.astype(np.float32) \
+            if getattr(a, "dtype", None) == np.float16 else a
+        ck["params"] = jax.tree.map(up, ck["params"])
+        if ck.get("ema_params") is not None:
+            ck["ema_params"] = jax.tree.map(up, ck["ema_params"])
+    return ck
 
 
 def variables_from_checkpoint(path: str, use_ema: bool = True) -> dict:
@@ -391,6 +402,7 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         acc = jnp.zeros((len(METRIC_KEYS),), jnp.float32)
         count = 0
         group: list = []
+        last_ms: list = [None]   # per-step metrics of the last flushed group
         i = -1
 
         def flush(state, acc, count):
@@ -399,6 +411,7 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
             if len(group) == spd:
                 state, ms = multi_fn(state, stack_batches(group))
                 acc = acc_multi(acc, ms)
+                last_ms[0] = ms
             else:  # short epoch tail: per-step programs
                 for b in group:
                     state, m = step_fn(state, b)
@@ -407,18 +420,21 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
             group.clear()
             return state, acc, count
 
+        # log cadence in GROUPS: ~log_every steps between prints whatever
+        # spd is; metrics_dict is a synchronous D2H fetch, and fetching
+        # every group would serialize the dispatch pipeline multi-step
+        # dispatch exists to amortize (ADVICE r03 #3)
+        log_every_groups = max(1, round(log_every / spd))
         for i, batch in enumerate(train_batches(epoch)):
             if mesh is not None:
                 batch = PM.shard_batch(batch, mesh)
             if spd > 1:
                 group.append(batch)
                 if len(group) == spd:
-                    state, ms = multi_fn(state, stack_batches(group))
-                    acc = acc_multi(acc, ms)
-                    count += spd
-                    group.clear()
-                    if (i // spd) % max(1, log_every // spd) == 0:
-                        m = metrics_dict(ms[-1])
+                    do_log = ((i + 1) // spd - 1) % log_every_groups == 0
+                    state, acc, count = flush(state, acc, count)
+                    if do_log:
+                        m = metrics_dict(last_ms[0][-1])
                         print(f"epoch {epoch} step {i}: "
                               f"loss={m['loss']:.4f} box={m['box']:.4f} "
                               f"cls={m['cls']:.4f} dfl={m['dfl']:.4f}")

@@ -309,3 +309,35 @@ class TestNativePRMatcher:
                 np.testing.assert_array_equal(g[0], w[0])
                 np.testing.assert_array_equal(g[1], w[1])
                 assert g[2:] == w[2:]
+
+
+class TestGTCacheKeying:
+    """VERDICT r03 #8: the IoU memo must key on det CONTENT (bytes), not a
+    64-bit Python hash that can collide, and it must be bounded."""
+
+    def _cache(self):
+        g = gt(10, 10, 6, 6, 0)
+        return MemoryCache({"img": np.stack([g])})
+
+    def test_distinct_dets_distinct_entries(self):
+        c = self._cache()
+        d1 = np.stack([det(10, 10, 6, 6, 0, 0.9)])
+        d2 = np.stack([det(40, 40, 6, 6, 0, 0.9)])  # no overlap with gt
+        m1 = c.iou(d1, "img")
+        m2 = c.iou(d2, "img")
+        assert len(c._iou) == 2
+        assert m1[0, 0] > 0.9 and m2[0, 0] == 0.0
+
+    def test_content_keyed_memo_hit(self):
+        c = self._cache()
+        d = np.stack([det(10, 10, 6, 6, 0, 0.9)])
+        m1 = c.iou(d, "img")
+        m2 = c.iou(d.copy(), "img")   # distinct array object, same bytes
+        assert m1 is m2 and len(c._iou) == 1
+
+    def test_lru_bound(self):
+        c = self._cache()
+        c.IOU_CACHE_MAX = 4
+        for k in range(10):
+            c.iou(np.stack([det(10 + k, 10, 6, 6, 0, 0.9)]), "img")
+        assert len(c._iou) == 4
