@@ -348,6 +348,27 @@ def main():
                     "inputs; trained_fresh_h2d_* adds per-rep upload)")
         headline_tps = n_tiles / med
         headline_weights = weights_t
+
+        # ---- REAL reference pixels (VERDICT r03 missing #1) ----------
+        # same geometry/programs, but the actual Input/Test{1,2}.png
+        # scanned-map content: detection density (and therefore host
+        # merge/consensus work) reflects real gradient statistics
+        ref_in = "/root/reference/Input"
+        if os.path.isdir(ref_in):
+            import cv2 as _cv2
+
+            real = [_cv2.imread(os.path.join(ref_in, f))
+                    for f in ("Test1.png", "Test2.png")]
+            if all(im is not None for im in real):
+                real = [jnp.asarray(im) for im in real]
+                det_t.detect_images(real)   # warmup (same programs)
+                counts_r = [len(r["merged_for_pr"])
+                            for r in det_t.detect_images(real)]
+                p10, med_r, p90 = _time_reps(
+                    lambda: det_t.detect_images(real))
+                out.update(_spread_keys("real_pixels", n_tiles,
+                                        p10, med_r, p90))
+                out["real_pixels_det_counts"] = counts_r
     else:
         print(f"[bench] trained section skipped: {weights_t}",
               file=sys.stderr)

@@ -125,3 +125,86 @@ class TestFrozenManifest:
         # shape check runs for n)
         assert len(manifest["yolo11x-obb-3ch"]) == 883
         assert len(manifest["yolo11x-obb-4ch"]) == 883
+
+
+class TestEngineManifest:
+    """Ground-truth validation of the converter against an INDEPENDENT
+    transcription of the pinned engine's module graph (VERDICT r03
+    missing #2): `tools/gen_engine_manifest.py` derives the expected
+    ultralytics-8.3.196 `state_dict()` key space {name: shape} from the
+    yolo11-obb.yaml graph + parse_model + module definitions, with no
+    reference to this repo's flax tree or exporter. The exporter's
+    output and the engine transcription must agree in BOTH directions
+    for every config, and the engine key space must convert onto a
+    freshly-initialized model completely — a mis-mapping of any
+    head/neck key in `_torch_key_to_flax` breaks one of these."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tools.gen_engine_manifest import engine_state_dict_manifest
+
+        return engine_state_dict_manifest
+
+    @pytest.fixture(scope="class")
+    def committed(self):
+        import json
+        import os
+
+        p = os.path.join(os.path.dirname(W.__file__),
+                         "engine_manifest.json")
+        with open(p) as f:
+            return json.load(f)
+
+    @pytest.mark.parametrize("scale,ch", [("n", 3), ("n", 4),
+                                          ("x", 3), ("x", 4)])
+    def test_committed_manifest_fresh(self, engine, committed, scale, ch):
+        """The committed JSON is exactly what the generator emits (no
+        staleness)."""
+        want = engine(scale, in_channels=ch)
+        got = committed[f"yolo11{scale}-obb-{ch}ch"]
+        assert {k: tuple(v) for k, v in got.items()} == \
+            {k: tuple(v) for k, v in want.items()}
+
+    @pytest.mark.parametrize("scale,ch", [("n", 3), ("n", 4),
+                                          ("x", 3), ("x", 4)])
+    def test_exporter_matches_engine_graph(self, engine, scale, ch):
+        """Both directions: every exporter key exists in the engine
+        transcription with the same shape, and every engine key (minus
+        the two classes the converter deliberately skips: BN bookkeeping
+        scalars and the fixed DFL bins) exists in the exporter output."""
+        import json
+        import os
+
+        p = os.path.join(os.path.dirname(W.__file__),
+                         "ultralytics_manifest.json")
+        with open(p) as f:
+            exporter = json.load(f)[f"yolo11{scale}-obb-{ch}ch"]
+        eng = {k: tuple(v) for k, v in engine(scale, in_channels=ch).items()
+               if not k.endswith("num_batches_tracked")
+               and not k.startswith("model.23.dfl")}
+        exp = {k: tuple(v) for k, v in exporter.items()}
+        assert set(exp) == set(eng), sorted(set(exp) ^ set(eng))[:8]
+        for k in eng:
+            assert exp[k] == eng[k], (k, exp[k], eng[k])
+
+    def test_engine_statedict_converts_onto_model(self, engine):
+        """A state dict with EXACTLY the engine transcription's keys —
+        including num_batches_tracked and dfl.conv.weight, which a real
+        torch checkpoint carries — must convert into a complete n-scale
+        model with nothing missing/extra/mismatched."""
+        rng = np.random.RandomState(0)
+        # rng.randn() with no args returns a python float (the scalar
+        # num_batches_tracked entries) — wrap in np.asarray
+        sd = {k: np.asarray(rng.randn(*shape), np.float32)
+              for k, shape in engine("n", in_channels=3).items()}
+        back = W.convert_state_dict(sd)
+        m = YOLO11OBB(nc=12, scale="n", in_channels=3)
+        ref = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        rep = W.validate_against(back, ref)
+        assert not rep["missing"] and not rep["extra"] \
+            and not rep["mismatched"], rep
