@@ -100,6 +100,10 @@ class DetectConfig:
     # for tile-scale batches and on CPU — see ops/dtedge.default_use_pallas)
     use_pallas_edt: Optional[bool] = None
     compute_dtype: str = "bfloat16"
+    # fold BatchNorm into conv kernels at detector construction (the
+    # engine's fuse() before predict); applies to checkpoint-loaded
+    # numpy param trees only (models/fold.py)
+    fold_bn: bool = True
 
 
 @dataclass(frozen=True)

@@ -109,6 +109,18 @@ class TiledDetector:
                 "and dispatches are keyed by tile size")
         self.cfg = cfg
         self.params = params_by_scale
+        if getattr(cfg, "fold_bn", False):
+            # engine fuse() parity: fold BN into conv kernels. Host
+            # numpy trees only — eager device math costs one tunnel RPC
+            # per op here (device-resident trees pass through unchanged)
+            from ..models.fold import fold_bn_variables
+
+            self.params = {
+                k: fold_bn_variables(v)
+                if (lv := jax.tree.leaves(v)) and all(
+                    isinstance(l, np.ndarray) for l in lv) else v
+                for k, v in self.params.items()
+            }
         self.max_det = max_det or cfg.max_det_per_tile
         self.pre_topk = pre_topk or cfg.pre_topk
         self.mesh = mesh
@@ -119,7 +131,7 @@ class TiledDetector:
 
             self.params = {
                 k: PM.replicate(v, mesh)
-                for k, v in params_by_scale.items()
+                for k, v in self.params.items()
             }
         else:
             # checkpoint params arrive as numpy; passing host arrays to
