@@ -10,6 +10,7 @@ tile directly onto the MXU; BatchNorm uses ultralytics' eps/momentum
 
 from __future__ import annotations
 
+import contextvars
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -17,6 +18,34 @@ from flax import linen as nn
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.97  # flax momentum = 1 - torch momentum (0.03)
+
+# Trace-scoped switch for the FUSED inference graph (the engine's
+# fuse()): when a model with `fused_bn=True` traces its body, every
+# ConvBN replaces the BatchNorm NODE with a plain `x + bias` (params
+# must already be BN-folded, models/fold.py). Measured on the flagship
+# x-scale golden 416 program: 18.8 -> 13.2 GB HBM accessed, 33.1 ->
+# 28.2 ms device time (tools/profile/bn_fold_ab.py) — XLA does NOT
+# fully fuse the runtime-affine BN into the conv epilogue. This is a
+# contextvar (set only inside YOLO11OBB.__call__, see yolo11_obb.py)
+# so the flag needn't thread through all ~34 block-construction sites.
+_FUSED_BN = contextvars.ContextVar("oodt_fused_bn", default=False)
+
+
+class FoldedBN(nn.Module):
+    """Declares the exact same parameter/stat tree as nn.BatchNorm but
+    computes only `x + bias` — correct iff the variables were BN-folded
+    (scale==1, mean==0, var==1-eps; models/fold.py neutralizes them)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        self.variable("batch_stats", "mean",
+                      lambda: jnp.zeros((c,), jnp.float32))
+        self.variable("batch_stats", "var",
+                      lambda: jnp.ones((c,), jnp.float32))
+        return x + bias.astype(x.dtype)
 
 
 class ConvBN(nn.Module):
@@ -37,10 +66,13 @@ class ConvBN(nn.Module):
             use_bias=False, name="conv",
             dtype=x.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS,
-            momentum=BN_MOMENTUM, name="bn", dtype=x.dtype,
-        )(x)
+        if _FUSED_BN.get() and not train:
+            x = FoldedBN(name="bn")(x)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train, epsilon=BN_EPS,
+                momentum=BN_MOMENTUM, name="bn", dtype=x.dtype,
+            )(x)
         return nn.silu(x) if self.act else x
 
 

@@ -121,3 +121,42 @@ def test_detector_folded_matches_unfolded():
     assert len(out0) > 0
     assert out0.shape == out1.shape
     np.testing.assert_allclose(out0, out1, rtol=1e-3, atol=5e-3)
+
+
+def test_fused_graph_matches_batchnorm_graph(model_vars):
+    """YOLO11OBB(fused_bn=True) on FOLDED params must reproduce the
+    BatchNorm graph on the original params (the graph-level engine
+    fuse(): ConvBN becomes conv -> +bias -> SiLU)."""
+    _, v = model_vars
+    base = YOLO11OBB(nc=12, scale="n", in_channels=3)
+    fused = YOLO11OBB(nc=12, scale="n", in_channels=3, fused_bn=True)
+    folded = fold_bn_variables(v)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 64, 64, 3),
+                    jnp.float32)
+    out1 = jax.jit(base.apply)(v, x)
+    out2 = jax.jit(fused.apply)(folded, x)
+    for key in ("cls", "box", "ang"):
+        for a, b in zip(out1[key], out2[key]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
+    # and fused_bn on UNFOLDED params must NOT silently equal the base
+    # (guards against the flag being a no-op)
+    out3 = jax.jit(fused.apply)(v, x)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(out1["cls"], out3["cls"])]
+    assert max(diffs) > 1e-3, "fused_bn flag appears to be a no-op"
+
+
+def test_fused_graph_param_tree_identical(model_vars):
+    """init trees of the fused and standard graphs must match exactly
+    (same keys, shapes) so folded checkpoints apply to either."""
+    _, v = model_vars
+    fused = YOLO11OBB(nc=12, scale="n", in_channels=3, fused_bn=True)
+    v2 = fused.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    import jax.tree_util as jtu
+
+    f1 = {jtu.keystr(p): np.shape(a)
+          for p, a in jtu.tree_flatten_with_path(v)[0]}
+    f2 = {jtu.keystr(p): np.shape(a)
+          for p, a in jtu.tree_flatten_with_path(v2)[0]}
+    assert f1 == f2

@@ -35,6 +35,10 @@ sys.path.insert(0, ".")
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--x-random", action="store_true",
+                    help="flagship x-scale random init instead of the "
+                         "n-scale trained ckpts (the HBM-bound config "
+                         "the r03 verdict profiled at 53 ms golden)")
     args = ap.parse_args(argv)
 
     from oriented_object_detection_tpu.utils.runtime import (
@@ -54,10 +58,14 @@ def main(argv=None):
     cfg = DetectConfig(
         scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)), channels=3)
     # trained checkpoints; fold_bn=True (default) neutralizes BN params
-    detA, weights = _build_detector(cfg, calibrate=False, use_ckpt=True)
-    if detA is None:
-        print(f"no checkpoints: {weights}; using random init")
-        detA, weights = _build_detector(cfg, calibrate=True)
+    if args.x_random:
+        detA, weights = _build_detector(cfg, calibrate=False)
+    else:
+        detA, weights = _build_detector(cfg, calibrate=False,
+                                        use_ckpt=True)
+        if detA is None:
+            print(f"no checkpoints: {weights}; using random init")
+            detA, weights = _build_detector(cfg, calibrate=True)
     print(f"weights: {weights}")
 
     rng = np.random.RandomState(0)
@@ -80,16 +88,25 @@ def main(argv=None):
                           lambda: jnp.ones((c,), jnp.float32))
             return x + bias.astype(x.dtype)
 
-    def fused_call(self, x, train: bool = False):
-        p = self.k // 2
-        x = nn.Conv(self.out_ch, (self.k, self.k),
-                    strides=(self.s, self.s), padding=((p, p), (p, p)),
-                    feature_group_count=self.groups, use_bias=False,
-                    name="conv", dtype=x.dtype)(x)
-        x = FoldedBN(name="bn")(x)
-        return nn.silu(x) if self.act else x
+    class FusedConvBN(L.ConvBN):
+        """ConvBN with the BatchNorm NODE replaced (same param tree)."""
 
-    orig_call = L.ConvBN.__call__
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            p = self.k // 2
+            x = nn.Conv(self.out_ch, (self.k, self.k),
+                        strides=(self.s, self.s), padding=((p, p), (p, p)),
+                        feature_group_count=self.groups, use_bias=False,
+                        name="conv", dtype=x.dtype)(x)
+            x = FoldedBN(name="bn")(x)
+            return nn.silu(x) if self.act else x
+
+    # monkeypatching Module.__call__ post-hoc bypasses the linen
+    # metaclass (scope handling breaks) — swap the CLASS symbol in every
+    # namespace that references it instead
+    from oriented_object_detection_tpu.models import yolo11_obb as Y
+
+    orig = L.ConvBN
 
     # trace A (unpatched), then B under the patch
     pendA = {sc.tile_size: detA._dispatch_scale_multi(images_dev, sc)
@@ -97,25 +114,42 @@ def main(argv=None):
     for p, _ in pendA.values():
         np.asarray(p)
 
-    L.ConvBN.__call__ = fused_call
+    L.ConvBN = FusedConvBN
+    Y.ConvBN = FusedConvBN
     try:
-        detB, _ = _build_detector(cfg, calibrate=False, use_ckpt=True)
-        if detB is None:
-            detB, _ = _build_detector(cfg, calibrate=True)
+        if args.x_random:
+            detB, _ = _build_detector(cfg, calibrate=False)
+        else:
+            detB, _ = _build_detector(cfg, calibrate=False, use_ckpt=True)
+            if detB is None:
+                detB, _ = _build_detector(cfg, calibrate=True)
         pendB = {sc.tile_size: detB._dispatch_scale_multi(images_dev, sc)
                  for sc in cfg.scales}
         for p, _ in pendB.values():
             np.asarray(p)
     finally:
-        L.ConvBN.__call__ = orig_call
+        L.ConvBN = orig
+        Y.ConvBN = orig
 
-    # outputs equivalent? (same folded params; B only drops dead math)
+    # outputs equivalent? compare VALID rows only, conf-sorted (the
+    # invalid padding tail carries garbage coords in arbitrary order)
     for ts in pendA:
-        a = np.asarray(pendA[ts][0])
-        b = np.asarray(pendB[ts][0])
-        d = np.abs(a - b).max()
-        print(f"scale {ts}: packed max|A-B| = {d:.3e} "
-              f"({a.shape[0]} rows)")
+        from oriented_object_detection_tpu.infer.pipeline import (
+            _unpack_rows)
+
+        a = _unpack_rows(np.asarray(pendA[ts][0]))
+        b = _unpack_rows(np.asarray(pendB[ts][0]))
+        av = a[a[:, 11] > 0.5]
+        bv = b[b[:, 11] > 0.5]
+        av = av[np.lexsort((av[:, 0], -av[:, 9]))]
+        bv = bv[np.lexsort((bv[:, 0], -bv[:, 9]))]
+        if av.shape == bv.shape:
+            d = np.abs(av - bv).max() if len(av) else 0.0
+            print(f"scale {ts}: {len(av)} valid rows, "
+                  f"max|A-B| = {d:.3e}")
+        else:
+            print(f"scale {ts}: VALID COUNT DIFFERS "
+                  f"{av.shape} vs {bv.shape}")
 
     tick = jax.jit(lambda x: x + 1.0)
     np.asarray(tick(jnp.float32(0.0)))
@@ -148,14 +182,14 @@ def main(argv=None):
         b = (np.median(b_times) - base) * 1000
 
         def cost(det):
-            segs = det._grids(tuple(im.shape for im in images_dev),
-                              ts, sc.overlap)[2]
-            key = ("fused", ts, sc.overlap,
-                   tuple(im.shape for im in images_dev), tuple(segs),
+            shapes = tuple(im.shape for im in images_dev)
+            segs = det._grids(shapes, sc)[2]
+            key = ("fused", ts, sc.overlap, shapes, tuple(segs),
                    det._packed.get(ts) is not None)
             run = det._fns[key]
-            c = run.lower(det.params[ts], tuple(images_dev),
-                          jnp.float32(0.25)).compile().cost_analysis()
+            c = run.lower(det._params_arg(ts), tuple(images_dev),
+                          det._conf_scalar(0.25)).compile(
+                ).cost_analysis()
             return (float(c.get("flops", 0)) / 1e12,
                     float(c.get("bytes accessed", 0)) / 1e9)
 

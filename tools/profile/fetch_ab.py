@@ -41,9 +41,11 @@ def main(argv=None):
     from tools.train_synthetic import gen_map
 
     rng = np.random.RandomState(11)
+    import os
+    fold = os.environ.get("OODT_FOLD_BN", "1") != "0"
     cfg = DetectConfig(
         scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)),
-        channels=3, calculate_metrics=True)
+        channels=3, calculate_metrics=True, fold_bn=fold)
     det, weights = _build_detector(cfg, calibrate=False, use_ckpt=True)
     if det is None:
         det, weights = _build_detector(cfg, calibrate=True)
