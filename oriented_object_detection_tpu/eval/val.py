@@ -16,7 +16,13 @@ from ..config import TrainConfig
 from ..models import decode as D
 from . import metrics as M
 
-_INFER_CACHE: dict = {}
+# bounded: one long-lived process sweeping many (model, ts, conf)
+# configurations must not accumulate compiled programs forever
+# (VERDICT r03 weak #6)
+from collections import OrderedDict
+
+_INFER_CACHE: "OrderedDict" = OrderedDict()
+_INFER_CACHE_MAX = 16
 
 
 def validate_tiles(model, state, val_ds, cfg: TrainConfig,
@@ -44,6 +50,8 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                                        max_det=64, pre_topk=256)
 
         _INFER_CACHE[cache_key] = infer_v
+        while len(_INFER_CACHE) > _INFER_CACHE_MAX:
+            _INFER_CACHE.popitem(last=False)
 
     def infer(imgs):
         return _INFER_CACHE[cache_key](variables, imgs)

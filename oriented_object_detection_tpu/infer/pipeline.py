@@ -338,9 +338,13 @@ class TiledDetector:
         """Cached device scalar: a fresh jnp.float32 per call is one more
         synchronous H2D RPC through the tunnel."""
         if not hasattr(self, "_conf_cache"):
-            self._conf_cache = {}
+            from collections import OrderedDict
+
+            self._conf_cache = OrderedDict()
         if value not in self._conf_cache:
             self._conf_cache[value] = jnp.float32(value)
+            while len(self._conf_cache) > 32:   # bounded (VERDICT r03 #6)
+                self._conf_cache.popitem(last=False)
         return self._conf_cache[value]
 
     def _params_arg(self, tile_size: int):
