@@ -68,7 +68,7 @@ from oriented_object_detection_tpu.models.calibrate import (  # noqa: E402
     calibrate_density as _calibrate_density)
 
 
-def _build_detector(cfg, calibrate, use_ckpt=False):
+def _build_detector(cfg, calibrate, use_ckpt=False, asset_tag=""):
     """use_ckpt=False: flagship x-scale random init (+density calibration)
     — comparable across rounds. use_ckpt=True: load
     runs/obb/train{ts}/best.ckpt when present (the checkpoint records its
@@ -93,7 +93,13 @@ def _build_detector(cfg, calibrate, use_ckpt=False):
         # which silently dropped the trained headline once — the asset
         # keeps the full-pipeline headline measurable from a fresh clone)
         sfx = "" if cfg.channels == 3 else f"_{cfg.channels}ch"
-        cands = [f"runs/obb/train{sc.tile_size}{sfx}/best.ckpt",
+        # asset_tag selects an alternate committed-ckpt family (e.g.
+        # "_x" = the reference's flagship x-scale models trained by
+        # tools/e2e_synthetic.py --scale x)
+        cands = [f"runs/obb/train{sc.tile_size}{sfx}{asset_tag}/best.ckpt",
+                 f"assets/bench_ckpts/train{sc.tile_size}{sfx}"
+                 f"{asset_tag}.ckpt"] if asset_tag else [
+                 f"runs/obb/train{sc.tile_size}{sfx}/best.ckpt",
                  f"runs/obb/train{sc.tile_size}/best.ckpt",
                  f"assets/bench_ckpts/train{sc.tile_size}{sfx}.ckpt"]
         if use_ckpt:
@@ -371,6 +377,26 @@ def main():
                 out["real_pixels_det_counts"] = counts_r
     else:
         print(f"[bench] trained section skipped: {weights_t}",
+              file=sys.stderr)
+
+    # ---- trained FLAGSHIP (x-scale) dual-scale -------------------------
+    # the reference's actual model size (`Train_OBB.py:792` yolo11x-obb):
+    # same golden workload as the trained headline but with the committed
+    # x-scale synthetic checkpoints (assets/bench_ckpts/train{ts}_x.ckpt,
+    # tools/e2e_synthetic.py --scale x) — slower per tile than the n-scale
+    # headline by design; this is the apples-to-apples flagship row
+    det_x, weights_x = _build_detector(cfg, calibrate=False, use_ckpt=True,
+                                       asset_tag="_x")
+    if det_x is not None:
+        det_x.detect_images(images)  # warmup/compile
+        counts_x = [len(r["merged_for_pr"])
+                    for r in det_x.detect_images(images)]
+        p10, med_x, p90 = _time_reps(lambda: det_x.detect_images(images))
+        out.update(_spread_keys("trained_x", n_tiles, p10, med_x, p90))
+        out["trained_x_weights"] = weights_x
+        out["trained_x_det_counts"] = counts_x
+    else:
+        print(f"[bench] trained_x section skipped: {weights_x}",
               file=sys.stderr)
 
     # ---- random+density dual-scale (cross-round device-path number) ----

@@ -25,6 +25,16 @@ _INFER_CACHE: "OrderedDict" = OrderedDict()
 _INFER_CACHE_MAX = 16
 
 
+def _cache_put(key, factory):
+    """Insert-with-eviction: keeps the newest _INFER_CACHE_MAX entries
+    (compiled per-(model, ts, conf) programs)."""
+    if key not in _INFER_CACHE:
+        _INFER_CACHE[key] = factory()
+        while len(_INFER_CACHE) > _INFER_CACHE_MAX:
+            _INFER_CACHE.popitem(last=False)
+    return _INFER_CACHE[key]
+
+
 def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                    max_tiles: int | None = None,
                    batch_size: int = 16, conf_thr: float = 0.001,
@@ -40,8 +50,7 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
 
     # variables passed as an argument (not a closure) and the jitted fn
     # cached per (model, ts, conf) so the program is reused across epochs
-    cache_key = (model, ts, conf_thr)
-    if cache_key not in _INFER_CACHE:
+    def _make_infer():
         @jax.jit
         def infer_v(v, imgs):
             out = model.apply(v, imgs)
@@ -49,12 +58,12 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
             return D.postprocess_batch(rbox, scores, conf_thr, 0.7,
                                        max_det=64, pre_topk=256)
 
-        _INFER_CACHE[cache_key] = infer_v
-        while len(_INFER_CACHE) > _INFER_CACHE_MAX:
-            _INFER_CACHE.popitem(last=False)
+        return infer_v
+
+    infer_fn = _cache_put((model, ts, conf_thr), _make_infer)
 
     def infer(imgs):
-        return _INFER_CACHE[cache_key](variables, imgs)
+        return infer_fn(variables, imgs)
 
     n = len(val_ds) if max_tiles is None else min(len(val_ds), max_tiles)
     dets_per_image: dict = {}
