@@ -89,6 +89,7 @@ def _augment_batch_fn(channels: int):
 
 
 _MOSAIC_CACHE: dict = {}
+_MOSAIC_BODY_CACHE: dict = {}   # unjitted bodies, shared by the packed fn
 
 
 def _mosaic_batch_fn(ts: int, channels: int):
@@ -126,7 +127,6 @@ def _mosaic_batch_fn(ts: int, channels: int):
     def warp_one(canvas, ad, bd, X0, Y0):
         return W.warp_affine_u8_dev(canvas, ad, bd, X0, Y0, border)
 
-    @jax.jit
     def run(cache, idxs, yc, xc, ad, bd, X0, Y0, is_mosaic,
             gb, flips, sg, vg):
         tiles = cache[idxs]                            # [B, 4, ts, ts, C]
@@ -147,7 +147,62 @@ def _mosaic_batch_fn(ts: int, channels: int):
             gb)
         return x / 255.0, gb
 
-    _MOSAIC_CACHE[key] = run
+    _MOSAIC_BODY_CACHE[key] = run
+    _MOSAIC_CACHE[key] = jax.jit(run)
+    return _MOSAIC_CACHE[key]
+
+
+_MOSAIC_PACKED_CACHE: dict = {}
+
+
+def _mosaic_batch_packed_fn(ts: int, channels: int, M: int):
+    """Packed-upload variant of `_mosaic_batch_fn`: every per-batch host
+    input rides in TWO uploads (one int32 pack, one float32 pack) instead
+    of ~13 separate `jnp.asarray` transfers. Each H2D transfer through
+    this box's tunnel costs ~35-70 ms of RPC latency regardless of size
+    (CLAUDE.md), so the unpacked path spends ~0.5-0.7 s per training step
+    on upload latency alone — device compute is ~12-60 ms. Numerics are
+    bit-identical: the packs are exact int32/float32 round-trips and the
+    compute body is shared with `_mosaic_batch_fn`.
+
+    int32 pack layout per sample (width 8 + 4*ts + 2*M):
+      [0:4] tile idxs | [4] yc | [5] xc | [6:6+4*ts] ad/bd/X0/Y0 warp
+      tables | [..] is_mosaic | [..] flip | [..:+M] gt_labels |
+      [..:+M] gt_mask
+    float32 pack layout (width 5*M + 2): gt_xywhr.flat | sg | vg
+    Returns (images, gt_xywhr, gt_labels, gt_mask) — the full batch.
+    """
+    key = (ts, channels, M)
+    if key in _MOSAIC_PACKED_CACHE:
+        return _MOSAIC_PACKED_CACHE[key]
+
+    import jax
+
+    _mosaic_batch_fn(ts, channels)          # populate the body cache
+    # the underlying traced body, not the jitted wrapper: one program
+    inner = _MOSAIC_BODY_CACHE[(ts, channels)]
+
+    @jax.jit
+    def run(cache, ipack, fpack):
+        o = 6 + 4 * ts
+        idxs = ipack[:, 0:4]
+        yc, xc = ipack[:, 4], ipack[:, 5]
+        ad = ipack[:, 6:6 + ts]
+        bd = ipack[:, 6 + ts:6 + 2 * ts]
+        X0 = ipack[:, 6 + 2 * ts:6 + 3 * ts]
+        Y0 = ipack[:, 6 + 3 * ts:6 + 4 * ts]
+        is_mos = ipack[:, o] != 0
+        flips = ipack[:, o + 1] != 0
+        gl = ipack[:, o + 2:o + 2 + M]
+        gm = ipack[:, o + 2 + M:o + 2 + 2 * M] != 0
+        B = ipack.shape[0]
+        gb = fpack[:, :5 * M].reshape(B, M, 5)
+        sg, vg = fpack[:, 5 * M], fpack[:, 5 * M + 1]
+        x, gb = inner(cache, idxs, yc, xc, ad, bd, X0, Y0, is_mos,
+                      gb, flips, sg, vg)
+        return x, gb, gl, gm
+
+    _MOSAIC_PACKED_CACHE[key] = run
     return run
 
 
@@ -403,32 +458,52 @@ class TileDataset:
                     gb[bi, :k] = xywhr
                     gm[bi, :k] = True
 
-            gbj = jnp.asarray(gb)
-            if augment:
+            if augment and use_dev:
                 # horizontal flip and HSV jitter, both per-sample
-                # (the engine draws HSV gains per image)
+                # (the engine draws HSV gains per image) — SAME rng draw
+                # order as the host path below
                 flips = rng.rand(B) < fliplr_p
                 sg = np.maximum(1.0 + rng.uniform(-1, 1, B) * hsv_s, 0.0)
                 vg = np.maximum(1.0 + rng.uniform(-1, 1, B) * hsv_v, 0.0)
-                if use_dev:
-                    run = _mosaic_batch_fn(ts, self.channels)
-                    x, gbj = run(cache, jnp.asarray(tidx),
-                                 jnp.asarray(yc), jnp.asarray(xc),
-                                 jnp.asarray(wtab[:, 0]),
-                                 jnp.asarray(wtab[:, 1]),
-                                 jnp.asarray(wtab[:, 2]),
-                                 jnp.asarray(wtab[:, 3]),
-                                 jnp.asarray(is_mos), gbj,
-                                 jnp.asarray(flips),
-                                 jnp.asarray(sg, jnp.float32),
-                                 jnp.asarray(vg, jnp.float32))
-                else:
-                    aug = _augment_batch_fn(self.channels)
-                    x, gbj = aug(jnp.asarray(imgs, jnp.float32), gbj,
-                                 jnp.asarray(flips),
-                                 jnp.asarray(sg, jnp.float32),
-                                 jnp.asarray(vg, jnp.float32),
-                                 jnp.float32(ts))
+                # every per-batch host input rides in TWO uploads: each
+                # H2D transfer costs ~35-70 ms tunnel RPC latency here,
+                # and the 13-transfer layout dominated epoch wall time
+                run = _mosaic_batch_packed_fn(ts, self.channels, M)
+                o = 6 + 4 * ts
+                ipack = np.zeros((B, o + 2 + 2 * M), np.int32)
+                ipack[:, 0:4] = tidx
+                ipack[:, 4] = yc
+                ipack[:, 5] = xc
+                ipack[:, 6:o] = wtab.reshape(B, 4 * ts)
+                ipack[:, o] = is_mos
+                ipack[:, o + 1] = flips
+                ipack[:, o + 2:o + 2 + M] = gl
+                ipack[:, o + 2 + M:] = gm
+                fpack = np.empty((B, 5 * M + 2), np.float32)
+                fpack[:, :5 * M] = gb.reshape(B, 5 * M)
+                fpack[:, 5 * M] = sg
+                fpack[:, 5 * M + 1] = vg
+                x, gbj, glj, gmj = run(cache, jnp.asarray(ipack),
+                                       jnp.asarray(fpack))
+                yield {
+                    "images": x,
+                    "gt_labels": glj,
+                    "gt_xywhr": gbj,
+                    "gt_mask": gmj,
+                }
+                continue
+
+            gbj = jnp.asarray(gb)
+            if augment:      # host-pixel fallback path (use_dev=False)
+                flips = rng.rand(B) < fliplr_p
+                sg = np.maximum(1.0 + rng.uniform(-1, 1, B) * hsv_s, 0.0)
+                vg = np.maximum(1.0 + rng.uniform(-1, 1, B) * hsv_v, 0.0)
+                aug = _augment_batch_fn(self.channels)
+                x, gbj = aug(jnp.asarray(imgs, jnp.float32), gbj,
+                             jnp.asarray(flips),
+                             jnp.asarray(sg, jnp.float32),
+                             jnp.asarray(vg, jnp.float32),
+                             jnp.float32(ts))
             else:
                 x = jnp.asarray(imgs, jnp.float32) / 255.0
 
