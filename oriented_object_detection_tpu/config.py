@@ -137,6 +137,18 @@ class TrainConfig:
     # OBB. Kept for config-surface parity; see PARITY.md.
     dropout: float = 0.0
     patience: int = 50
+    # Engine dataloader knobs (`Train_OBB.py:30-32`, passed through at
+    # :796-841) — kept for config-surface parity; all three are subsumed
+    # by the TPU loader design rather than wired to equivalents:
+    # `workers`: host dataloader threads — there is no worker pool here
+    # (one fused device program per batch, gathered from a device-resident
+    # tile cache, data/loader.py). `cache`: engine RAM/disk image cache —
+    # strictly superseded by the device tile cache, which uploads every
+    # tile ONCE (this box throttles H2D; per-batch uploads dominated epoch
+    # time). `rect`: rectangular-batch collation — inert for square tiles.
+    workers: int = 2
+    cache: bool = False
+    rect: bool = False
     # engine default: mosaic disabled for the final N epochs (ultralytics
     # close_mosaic=10, exercised via `Train_OBB.py:796-841`); runs
     # shorter than N keep mosaic on for every epoch (engine trigger

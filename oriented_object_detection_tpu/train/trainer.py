@@ -15,6 +15,8 @@ from __future__ import annotations
 import functools
 import os
 import pickle
+import sys
+import threading
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -242,21 +244,83 @@ def stack_batches(batches: list) -> dict:
 # ---------------------------------------------------------------------------
 # Checkpointing (params + EMA + opt state + step)
 # ---------------------------------------------------------------------------
+#
+# The saved tree (params + batch_stats + EMA + SGD momentum) is ~2100
+# small leaves; fetching it leaf-by-leaf (`jax.tree.map(np.asarray, ...)`)
+# costs a ~25 ms D2H RPC per leaf through this box's TPU tunnel —
+# measured ~19 s per 235 MB tree, ~60-120 s per epoch for the flagship
+# x-scale (checkpoint fetch, not compute, dominated CLI training wall).
+# Instead a single jitted program concatenates every float32 leaf into
+# ONE flat buffer fetched with ONE bulk D2H (~18-25 MB/s measured), and
+# `fit` fetches once per epoch in a background thread (best.ckpt and
+# last.ckpt are written from the same snapshot) overlapped with the next
+# epoch's compute — the orbax-style async pattern. Round-trip is
+# bit-exact (tests/test_train.py::test_packed_payload_bitexact).
+
+_PACK_FN_CACHE: dict = {}
+
+
+def _saved_tree(state: TrainState) -> dict:
+    return {"params": state.params, "batch_stats": state.batch_stats,
+            "ema_params": state.ema_params, "opt_state": state.opt_state}
+
+
+def device_state_snapshot(state: TrainState):
+    """Device-side stage of a checkpoint save: pack every float32 leaf
+    into one freshly-allocated flat buffer (single program dispatch).
+
+    The returned snapshot references only new buffers, so it stays valid
+    — and may be fetched from a background thread — while subsequent
+    train steps donate and overwrite the live state's buffers."""
+    leaves, treedef = jax.tree.flatten(_saved_tree(state))
+    spec = tuple((tuple(a.shape), str(np.dtype(a.dtype))) for a in leaves)
+    f32 = tuple(i for i, a in enumerate(leaves)
+                if np.dtype(a.dtype) == np.float32)
+    key = (treedef, spec)
+    fn = _PACK_FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda ls: jnp.concatenate([l.ravel() for l in ls])
+                     if ls else jnp.zeros((0,), jnp.float32))
+        _PACK_FN_CACHE[key] = fn
+    packed = fn([leaves[i] for i in f32])
+    # non-f32 leaves (none today — step is fetched below) + step: tiny,
+    # fetched eagerly so the background stage needs no live-state access
+    f32set = set(f32)
+    others = {i: np.asarray(leaves[i])
+              for i in range(len(leaves)) if i not in f32set}
+    return {"packed": packed, "others": others, "step": int(state.step),
+            "treedef": treedef, "spec": spec, "f32": f32}
+
+
+def payload_from_snapshot(snap: dict) -> dict:
+    """Host stage: ONE bulk D2H of the packed buffer -> checkpoint
+    payload dict (sans `extra`), bit-identical to per-leaf np.asarray."""
+    flat = np.asarray(snap["packed"])
+    leaves: list = [None] * len(snap["spec"])
+    off = 0
+    for i in snap["f32"]:
+        shape, _ = snap["spec"][i]
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        leaves[i] = flat[off:off + n].reshape(shape)
+        off += n
+    for i, a in snap["others"].items():
+        leaves[i] = a
+    tree = jax.tree.unflatten(snap["treedef"], leaves)
+    return {"step": snap["step"], **tree}
+
 
 def save_checkpoint(path: str, state: TrainState, extra: dict | None = None):
+    # SGD momentum buffers ride along: the engine's resume restores
+    # optimizer state, so --resume must not restart momentum
+    # (VERDICT r02 #4)
+    payload = payload_from_snapshot(device_state_snapshot(state))
+    _write_checkpoint(path, payload, extra)
+
+
+def _write_checkpoint(path: str, payload: dict, extra: dict | None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {
-        "step": int(state.step),
-        "params": jax.tree.map(np.asarray, state.params),
-        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-        "ema_params": jax.tree.map(np.asarray, state.ema_params),
-        # SGD momentum buffers: the engine's resume restores optimizer
-        # state, so --resume must not restart momentum (VERDICT r02 #4)
-        "opt_state": jax.tree.map(np.asarray, state.opt_state),
-        "extra": extra or {},
-    }
     with open(path, "wb") as f:
-        pickle.dump(payload, f)
+        pickle.dump({**payload, "extra": extra or {}}, f)
 
 
 def load_checkpoint(path: str) -> dict:
@@ -348,6 +412,26 @@ def warm_start_state(path: str, state: TrainState,
     )
 
 
+class _AsyncSaver(threading.Thread):
+    """Background checkpoint writer: one bulk D2H of a device snapshot +
+    pickle/write, overlapped with the next epoch's training (the snapshot
+    references freshly-packed buffers, untouched by the donated train
+    step). `jobs` is [(path, extra), ...] — best.ckpt and last.ckpt are
+    written from the SAME fetch."""
+
+    def __init__(self, snap: dict, jobs: list):
+        super().__init__(daemon=True)
+        self.snap, self.jobs, self.exc = snap, jobs, None
+
+    def run(self):
+        try:
+            payload = payload_from_snapshot(self.snap)
+            for path, extra in self.jobs:
+                _write_checkpoint(path, payload, extra)
+        except BaseException as e:    # re-raised at join in fit()
+            self.exc = e
+
+
 def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         val_fn=None, ckpt_dir: str = "runs/obb/train", mesh=None,
         log_every: int = 10, resume: bool = False,
@@ -398,6 +482,36 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         spd = 1
     multi_fn = make_train_step_multi(step_fn, spd) if spd > 1 else None
     acc_multi = jax.jit(lambda a, m: a + m.sum(0)) if spd > 1 else None
+    pending: list = []          # at most one in-flight _AsyncSaver
+
+    def _join_pending():
+        if pending:
+            t = pending.pop()
+            t.join()
+            if t.exc is not None:
+                raise t.exc
+
+    try:
+        state = _fit_epochs(
+            model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
+            step_fn, acc_fn, spd, multi_fn, acc_multi, results, log_every,
+            start_epoch, best, best_epoch, last_path, pending,
+            _join_pending)
+    finally:
+        # flush the in-flight save before returning (or unwinding); keep
+        # an original exception over a saver failure
+        if pending:
+            t = pending.pop()
+            t.join()
+            if t.exc is not None and sys.exc_info()[0] is None:
+                raise t.exc
+    return state
+
+
+def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
+                step_fn, acc_fn, spd, multi_fn, acc_multi, results,
+                log_every, start_epoch, best, best_epoch, last_path,
+                pending, _join_pending):
     for epoch in range(start_epoch, cfg.epochs):
         acc = jnp.zeros((len(METRIC_KEYS),), jnp.float32)
         count = 0
@@ -458,14 +572,24 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
             **{k: (sums[k] / max(count, 1)) for k in sums})
         meta = {"model_scale": cfg.model_scale, "channels": cfg.channels,
                 "tile_size": cfg.tile_size}
+        jobs = []
         if fitness > best:
             best, best_epoch = fitness, epoch
-            save_checkpoint(os.path.join(ckpt_dir, "best.ckpt"), state,
-                            {"epoch": epoch, "fitness": fitness, **meta})
-        save_checkpoint(os.path.join(ckpt_dir, "last.ckpt"), state,
-                        {"epoch": epoch, "fitness": fitness,
-                         "best_fitness": best, "best_epoch": best_epoch,
-                         **meta})
+            jobs.append((os.path.join(ckpt_dir, "best.ckpt"),
+                         {"epoch": epoch, "fitness": fitness, **meta}))
+        jobs.append((last_path,
+                     {"epoch": epoch, "fitness": fitness,
+                      "best_fitness": best, "best_epoch": best_epoch,
+                      **meta}))
+        # async save: pack the state on device (fast, freshly-allocated
+        # buffers), then fetch/pickle/write in a background thread while
+        # the next epoch trains — checkpoint D2H was 60-120 s/epoch for
+        # the x-scale when fetched leaf-by-leaf in the loop
+        snap = device_state_snapshot(state)
+        _join_pending()
+        saver = _AsyncSaver(snap, jobs)
+        pending.append(saver)
+        saver.start()
         if epoch - best_epoch >= cfg.patience:
             print(f"[EarlyStop] no improvement for {cfg.patience} epochs "
                   f"(best fitness {best:.4f} @ epoch {best_epoch})")

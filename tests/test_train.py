@@ -177,6 +177,52 @@ class TestDataParallel:
         out = model.apply(v, x)
         assert out["cls"][0].shape[-1] == 12
 
+    def test_packed_payload_bitexact(self):
+        """The single-buffer packed checkpoint fetch (one bulk D2H
+        instead of ~2100 per-leaf RPCs) must reproduce the per-leaf
+        np.asarray payload bit-for-bit."""
+        cfg = TrainConfig(tile_size=64, model_scale="n",
+                          compute_dtype="float32")
+        _, state, _ = TR.create_train_state(cfg, jax.random.PRNGKey(7))
+        payload = TR.payload_from_snapshot(TR.device_state_snapshot(state))
+        ref = {
+            "step": int(state.step),
+            "params": jax.tree.map(np.asarray, state.params),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            "ema_params": jax.tree.map(np.asarray, state.ema_params),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        }
+        assert payload["step"] == ref["step"]
+        for k in ("params", "batch_stats", "ema_params", "opt_state"):
+            ra, rb = jax.tree.leaves(ref[k]), jax.tree.leaves(payload[k])
+            assert len(ra) == len(rb) > 0 or k == "batch_stats"
+            for a, b in zip(ra, rb):
+                assert a.dtype == b.dtype and a.shape == b.shape
+                assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_async_saver_writes_best_and_last(self, tmp_path):
+        """fit()'s background saver path: both files appear from ONE
+        snapshot and carry their distinct extras."""
+        cfg = TrainConfig(tile_size=64, model_scale="n",
+                          compute_dtype="float32")
+        _, state, _ = TR.create_train_state(cfg, jax.random.PRNGKey(8))
+        snap = TR.device_state_snapshot(state)
+        jobs = [(str(tmp_path / "best.ckpt"), {"epoch": 1, "fitness": 0.5}),
+                (str(tmp_path / "last.ckpt"), {"epoch": 1, "fitness": 0.5,
+                                               "best_fitness": 0.5,
+                                               "best_epoch": 1})]
+        t = TR._AsyncSaver(snap, jobs)
+        t.start()
+        t.join()
+        assert t.exc is None
+        best = TR.load_checkpoint(str(tmp_path / "best.ckpt"))
+        last = TR.load_checkpoint(str(tmp_path / "last.ckpt"))
+        assert "best_epoch" in last["extra"] and \
+            "best_epoch" not in best["extra"]
+        for a, b in zip(jax.tree.leaves(best["params"]),
+                        jax.tree.leaves(last["params"])):
+            assert (a == b).all()
+
     def test_resume_restores_optimizer_momentum(self, tmp_path):
         """--resume must restore SGD momentum buffers (engine parity,
         VERDICT r02): a step after save+restore must match a step without

@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--maps", type=int, default=100)
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--asset-tag", default="",
+                    help="checkpoint family suffix, e.g. _x = the "
+                         "flagship x-scale ckpts under "
+                         "runs/obb/train{ts}_x/ (bench.py trained_x)")
     args = ap.parse_args(argv)
 
     from oriented_object_detection_tpu.utils.runtime import (
@@ -66,7 +70,8 @@ def main(argv=None):
     cfg = DetectConfig(
         scales=(ScaleConfig(128, 30), ScaleConfig(416, 100)),
         channels=3, calculate_metrics=True)
-    det, weights = _build_detector(cfg, calibrate=False, use_ckpt=True)
+    det, weights = _build_detector(cfg, calibrate=False, use_ckpt=True,
+                                   asset_tag=args.asset_tag)
     if det is None:
         print(f"[detect_scale] {weights}; using random+density")
         det, weights = _build_detector(cfg, calibrate=True)
