@@ -26,12 +26,16 @@ _INFER_CACHE_MAX = 16
 
 
 def _cache_put(key, factory):
-    """Insert-with-eviction: keeps the newest _INFER_CACHE_MAX entries
-    (compiled per-(model, ts, conf) programs)."""
+    """LRU insert-or-refresh: keeps the _INFER_CACHE_MAX most recently
+    USED compiled per-(model, ts, conf) programs — a hit refreshes
+    recency so the hot per-epoch validation program is never evicted by
+    insertion age (recompiles cost ~20-90 s through the remote tunnel)."""
     if key not in _INFER_CACHE:
         _INFER_CACHE[key] = factory()
         while len(_INFER_CACHE) > _INFER_CACHE_MAX:
             _INFER_CACHE.popitem(last=False)
+    else:
+        _INFER_CACHE.move_to_end(key)
     return _INFER_CACHE[key]
 
 

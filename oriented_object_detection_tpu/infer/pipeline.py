@@ -140,8 +140,19 @@ class TiledDetector:
             raise ValueError(
                 f"duplicate tile sizes in scales {sizes}: params, models "
                 "and dispatches are keyed by tile size")
+        if cfg.nc > META_TILE_STRIDE // 2:
+            # cls shares the packed meta column with valid (bit 0) and
+            # tile_id (bits >= 5): 4 bits of class id — silent corruption
+            # past 16 classes, so refuse loudly (reference nc is 12)
+            raise ValueError(
+                f"nc={cfg.nc} exceeds the {META_TILE_STRIDE // 2}-class "
+                "capacity of the packed meta column (PACKED_COLS layout); "
+                "raise META_TILE_STRIDE and the _unpack_rows masks")
         self.cfg = cfg
-        self.params = params_by_scale
+        # shallow-copy: BN folding below replaces entries, and mutating
+        # the CALLER's dict would hand folded (neutralized-BN) trees to
+        # anyone reusing it for training warm-starts or a second detector
+        self.params = dict(params_by_scale)
         self._folded: dict[int, bool] = {k: False for k in self.params}
         if getattr(cfg, "fold_bn", False):
             # engine fuse() parity: fold BN into conv kernels. Host
@@ -345,6 +356,8 @@ class TiledDetector:
             self._conf_cache[value] = jnp.float32(value)
             while len(self._conf_cache) > 32:   # bounded (VERDICT r03 #6)
                 self._conf_cache.popitem(last=False)
+        else:
+            self._conf_cache.move_to_end(value)   # LRU, not FIFO
         return self._conf_cache[value]
 
     def _params_arg(self, tile_size: int):

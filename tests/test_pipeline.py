@@ -326,3 +326,37 @@ class TestValidPrefixFetch:
             for a, b in zip(streamed, full):
                 for k in a:
                     np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+class TestConstructorGuards:
+    def test_nc_over_meta_capacity_refused(self):
+        """cls packs into 4 bits of the meta column (stride 32): nc > 16
+        would silently corrupt cls AND tile_id in _unpack_rows, so the
+        constructor must refuse loudly."""
+        import dataclasses
+        cfg = DetectConfig(scales=(ScaleConfig(64, 16, model_scale="n"),),
+                           channels=3)
+        cfg = dataclasses.replace(cfg, nc=20)
+        with pytest.raises(ValueError, match="meta column"):
+            P.TiledDetector(cfg, {}, max_det=16, pre_topk=32)
+
+    def test_caller_params_dict_not_mutated_by_fold(self):
+        """BN folding must operate on a copy: mutating the caller's dict
+        would hand neutralized-BN trees to training warm-starts or to a
+        second detector (double-fold)."""
+        cfg = DetectConfig(scales=(ScaleConfig(64, 16, model_scale="n"),),
+                           channels=3, compute_dtype="float32")
+        m = YOLO11OBB(nc=cfg.nc, scale="n", in_channels=3)
+        x = np.zeros((1, 64, 64, 3), np.float32)
+        v = jax.tree.map(np.asarray, m.init(jax.random.PRNGKey(0), x))
+        caller = {64: v}
+        det = P.TiledDetector(cfg, caller, max_det=16, pre_topk=32)
+        assert det._folded[64], "numpy tree should have been folded"
+        assert caller[64] is v, "caller's dict entry was replaced"
+        # and a second detector from the SAME dict folds fresh (no
+        # double-fold of an already-folded tree)
+        det2 = P.TiledDetector(cfg, caller, max_det=16, pre_topk=32)
+        a = jax.tree.leaves(det.params[64])
+        b = jax.tree.leaves(det2.params[64])
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
