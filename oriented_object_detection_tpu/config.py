@@ -161,6 +161,9 @@ class TrainConfig:
     cls_gain: float = 0.5
     dfl_gain: float = 1.5
     seed: int = 42
+    # run-dir artifacts: results.csv/png + args.yaml + train_batch0.jpg
+    # (the reference trains with plots=True, `Train_OBB.py:811,839`)
+    plots: bool = True
     # parallelism
     data_axis: str = "data"
     compute_dtype: str = "bfloat16"

@@ -12,6 +12,7 @@ torch DDP path).
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 import pickle
@@ -257,7 +258,11 @@ def stack_batches(batches: list) -> dict:
 # epoch's compute — the orbax-style async pattern. Round-trip is
 # bit-exact (tests/test_train.py::test_packed_payload_bitexact).
 
-_PACK_FN_CACHE: dict = {}
+# one compiled pack program per distinct state structure; LRU-bounded
+# like every other long-lived cache (a sweep across many model configs
+# would otherwise retain a compiled program per config forever)
+_PACK_FN_CACHE: collections.OrderedDict = collections.OrderedDict()
+_PACK_FN_CACHE_MAX = 8
 
 
 def _saved_tree(state: TrainState) -> dict:
@@ -282,6 +287,10 @@ def device_state_snapshot(state: TrainState):
         fn = jax.jit(lambda ls: jnp.concatenate([l.ravel() for l in ls])
                      if ls else jnp.zeros((0,), jnp.float32))
         _PACK_FN_CACHE[key] = fn
+        while len(_PACK_FN_CACHE) > _PACK_FN_CACHE_MAX:
+            _PACK_FN_CACHE.popitem(last=False)
+    else:
+        _PACK_FN_CACHE.move_to_end(key)
     packed = fn([leaves[i] for i in f32])
     # non-f32 leaves (none today — step is fetched below) + step: tiny,
     # fetched eagerly so the background stage needs no live-state access
@@ -324,7 +333,8 @@ def _write_checkpoint(path: str, payload: dict, extra: dict | None):
 
 
 def load_checkpoint(path: str) -> dict:
-    ck = pickle.load(open(path, "rb"))
+    with open(path, "rb") as f:
+        ck = pickle.load(f)
     # Distilled committed assets (tools/distill_bench_ckpt.py) store
     # params in float16 to stay small. Upcast HERE so every consumer —
     # `oodt detect --ckpt416 assets/...`, bench, tests — gets fp32
@@ -336,6 +346,26 @@ def load_checkpoint(path: str) -> dict:
         ck["params"] = jax.tree.map(up, ck["params"])
         if ck.get("ema_params") is not None:
             ck["ema_params"] = jax.tree.map(up, ck["ema_params"])
+    elif ck.get("extra", {}).get("distilled_int8"):
+        # per-output-channel int8 assets (the x-scale flagship ckpts —
+        # fp16 would cost ~118 MB per committed file): dequantize large
+        # kernels with their stored scale vectors, upcast the fp16 rest,
+        # so every consumer still sees an ordinary fp32 tree
+        from jax.tree_util import (keystr, tree_flatten_with_path,
+                                   tree_unflatten)
+
+        scales = ck.pop("q_scales")
+        flat, treedef = tree_flatten_with_path(ck["params"])
+        leaves = []
+        for path, a in flat:
+            s = scales.get(keystr(path))
+            if s is not None:
+                leaves.append(np.asarray(a, np.float32) * s)
+            elif getattr(a, "dtype", None) == np.float16:
+                leaves.append(a.astype(np.float32))
+            else:
+                leaves.append(a)
+        ck["params"] = tree_unflatten(treedef, leaves)
     return ck
 
 
@@ -463,9 +493,10 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
             "model_scale": cfg.model_scale, "channels": cfg.channels})
         print(f"[WarmStart] params/EMA initialized from {init_ckpt}")
 
-    from ..utils.plots import ResultsWriter
+    from ..utils.plots import ResultsWriter, write_args_yaml
 
-    results = ResultsWriter(ckpt_dir)
+    results = ResultsWriter(ckpt_dir, plots=getattr(cfg, "plots", True))
+    write_args_yaml(ckpt_dir, cfg)   # engine run-dir artifact parity
     # metric accumulation stays ON DEVICE for the whole epoch: one host
     # fetch per epoch (+ one per log_every print) instead of per step —
     # per-step fetches cost ~35-70 ms of tunnel RPC each AND break the
@@ -540,6 +571,14 @@ def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
         # dispatch exists to amortize (ADVICE r03 #3)
         log_every_groups = max(1, round(log_every / spd))
         for i, batch in enumerate(train_batches(epoch)):
+            if epoch == start_epoch and i == 0 \
+                    and getattr(cfg, "plots", True):
+                # engine `plots=True` parity: augmented first-batch mosaic
+                # (one host fetch, once per fit)
+                from ..utils.plots import plot_train_batch
+
+                plot_train_batch(batch, os.path.join(
+                    ckpt_dir, "train_batch0.jpg"))
             if mesh is not None:
                 batch = PM.shard_batch(batch, mesh)
             if spd > 1:

@@ -61,3 +61,65 @@ class ResultsWriter:
         fig.tight_layout()
         fig.savefig(os.path.join(self.run_dir, "results.png"), dpi=100)
         plt.close(fig)
+
+
+def write_args_yaml(run_dir: str, cfg) -> None:
+    """The engine dumps the resolved train arguments as `args.yaml` into
+    the run directory (ultralytics trainer setup, exercised via
+    `Train_OBB.py:796-841`); same artifact here from the TrainConfig."""
+    import dataclasses
+
+    try:
+        import yaml
+    except Exception:
+        return
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "args.yaml"), "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=True)
+
+
+def _xywhr_corners_np(b):
+    import numpy as np
+
+    cx, cy, w, h, r = [float(v) for v in b]
+    c, s = np.cos(r), np.sin(r)
+    out = []
+    for dx, dy in ((w / 2, h / 2), (-w / 2, h / 2),
+                   (-w / 2, -h / 2), (w / 2, -h / 2)):
+        out.append((cx + dx * c - dy * s, cy + dx * s + dy * c))
+    return np.asarray(out, np.float64)
+
+
+def plot_train_batch(batch_host: dict, path: str,
+                     max_tiles: int = 16) -> None:
+    """`train_batch0.jpg` analogue (the engine writes augmented-batch
+    mosaics with `plots=True`): a grid of the first tiles with their
+    rotated GT boxes drawn. Host-side; silently skipped without cv2."""
+    import numpy as np
+
+    try:
+        import cv2
+    except Exception:
+        return
+    imgs = np.asarray(batch_host["images"], np.float32)
+    boxes = np.asarray(batch_host["gt_xywhr"], np.float32)
+    mask = np.asarray(batch_host["gt_mask"], bool)
+    n = min(max_tiles, imgs.shape[0])
+    side = int(np.ceil(np.sqrt(n)))
+    ts = imgs.shape[1]
+    canvas = np.zeros((side * ts, side * ts, 3), np.uint8)
+    for k in range(n):
+        tile = imgs[k]
+        if tile.max() <= 1.5:            # loader feeds [0, 1] floats
+            tile = tile * 255.0
+        tile = np.clip(tile[..., :3], 0, 255).astype(np.uint8)
+        for b, m in zip(boxes[k], mask[k]):
+            if not m:
+                continue
+            pts = _xywhr_corners_np(b).round().astype(np.int32)
+            cv2.polylines(tile, [pts.reshape(-1, 1, 2)], True,
+                          (0, 255, 0), 1)
+        r, c = divmod(k, side)
+        canvas[r * ts:(r + 1) * ts, c * ts:(c + 1) * ts] = tile
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, canvas)

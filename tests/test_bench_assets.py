@@ -142,3 +142,66 @@ class TestDistill:
         det, weights = bench._build_detector(cfg, calibrate=False,
                                              use_ckpt=True)
         assert det is not None and "ckpt[n]" in weights
+
+
+class TestInt8Distill:
+    """--int8 assets (the x-scale flagship ckpts: fp16 alone would cost
+    ~118 MB per committed file) — per-output-channel symmetric int8 for
+    large kernels, dequantized back to fp32 by load_checkpoint."""
+
+    def test_int8_roundtrip_close_and_smaller(self, tiny_ckpt, tmp_path):
+        src, state = tiny_ckpt
+        dst16 = str(tmp_path / "f16.ckpt")
+        dst8 = str(tmp_path / "i8.ckpt")
+        distill(src, dst16)
+        payload = distill(src, dst8, int8=True)
+        # flags must be EXCLUSIVE: load_checkpoint branches on
+        # distilled_fp16 first; both set would skip dequantization
+        assert payload["extra"]["distilled_int8"] is True
+        assert "distilled_fp16" not in payload["extra"]
+        assert payload["q_scales"], "no leaf was quantized"
+        assert os.path.getsize(dst8) < 0.7 * os.path.getsize(dst16)
+
+        ck = TR.load_checkpoint(dst8)
+        assert "q_scales" not in ck
+        ema = jax.tree.leaves(jax.tree.map(np.asarray, state.ema_params))
+        out = jax.tree.leaves(ck["params"])
+        assert len(ema) == len(out)
+        for a, b in zip(ema, out):
+            a = np.asarray(a)
+            if a.dtype != np.float32:
+                continue
+            assert np.asarray(b).dtype == np.float32
+            # symmetric per-channel int8: |err| <= scale/2 = absmax/254
+            scale = np.abs(a).max(axis=tuple(range(a.ndim - 1))) / 127.0 \
+                if a.ndim >= 2 else None
+            err = np.abs(np.asarray(b) - a)
+            if a.ndim >= 2 and a.size >= 16384:
+                assert (err <= scale * 0.5 + 1e-7).all()
+            else:  # fp16 path
+                assert err.max() <= np.abs(a).max() * 2e-3 + 1e-7
+
+    def test_int8_of_fp16_source_upcasts_first(self, tiny_ckpt, tmp_path):
+        """Distilling FROM an already-fp16 asset (the x-scale runs/ case)
+        must still quantize the big kernels, not pass fp16 through."""
+        src, _ = tiny_ckpt
+        mid = str(tmp_path / "mid.ckpt")
+        distill(src, mid)                      # fp16 asset
+        payload = distill(mid, str(tmp_path / "i8.ckpt"), int8=True)
+        assert payload["q_scales"], "fp16 source defeated quantization"
+        assert "distilled_fp16" not in payload["extra"]
+
+    def test_committed_x_assets_load_as_fp32(self):
+        """The committed flagship assets themselves (skip if absent)."""
+        for ts in (128, 416):
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "assets", "bench_ckpts", f"train{ts}_x.ckpt")
+            if not os.path.exists(path):
+                pytest.skip("x-scale assets not committed here")
+            ck = TR.load_checkpoint(path)
+            extra = ck["extra"]
+            assert extra["model_scale"] == "x"
+            assert extra["tile_size"] == ts
+            leaves = jax.tree.leaves(ck["params"])
+            assert all(np.asarray(x).dtype == np.float32 for x in leaves)

@@ -497,3 +497,51 @@ class TestEmptyBatchGradients:
         batch2["gt_mask"] = jnp.ones((2, M), bool)
         _, m2 = step_fn(st, batch2)
         assert np.isfinite(TR.metrics_dict(m2)["loss"])
+
+
+class TestRunDirArtifacts:
+    def test_args_yaml_and_train_batch_plot(self, tmp_path):
+        """Engine plots=True run-dir parity: fit() writes args.yaml and a
+        train_batch0.jpg first-batch mosaic alongside results.csv."""
+        cfg = TrainConfig(tile_size=32, model_scale="n",
+                          compute_dtype="float32", epochs=1,
+                          lr0=1e-4, warmup_bias_lr=1e-4)
+        model, st, tx = TR.create_train_state(
+            cfg, jax.random.PRNGKey(0), steps_per_epoch=2)
+        rng = np.random.RandomState(0)
+        M = 4
+        boxes = np.zeros((2, M, 5), np.float32)
+        boxes[:, 0] = [16, 16, 10, 6, 0.4]
+        mask = np.zeros((2, M), bool)
+        mask[:, 0] = True
+        batch = {
+            "images": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+            "gt_labels": jnp.zeros((2, M), jnp.int32),
+            "gt_xywhr": jnp.asarray(boxes),
+            "gt_mask": jnp.asarray(mask),
+        }
+        TR.fit(model, st, tx, cfg, lambda e: iter([batch, batch]),
+               ckpt_dir=str(tmp_path), log_every=10)
+        assert (tmp_path / "results.csv").exists()
+        assert (tmp_path / "args.yaml").exists()
+        import yaml
+
+        args = yaml.safe_load(open(tmp_path / "args.yaml"))
+        assert args["tile_size"] == 32 and args["model_scale"] == "n"
+        try:
+            import cv2
+        except Exception:
+            return
+        p = tmp_path / "train_batch0.jpg"
+        assert p.exists()
+        im = cv2.imread(str(p))
+        assert im is not None and im.shape == (64, 64, 3)
+        # plots=False writes neither preview nor curves
+        import dataclasses
+        cfg2 = dataclasses.replace(cfg, plots=False)
+        model2, st2, tx2 = TR.create_train_state(
+            cfg2, jax.random.PRNGKey(1), steps_per_epoch=2)
+        d2 = tmp_path / "noplots"
+        TR.fit(model2, st2, tx2, cfg2, lambda e: iter([batch]),
+               ckpt_dir=str(d2), log_every=10)
+        assert not (d2 / "train_batch0.jpg").exists()

@@ -9,9 +9,19 @@ cast to float16 plus batch_stats and the arch metadata — so the result
 is small enough to commit under assets/bench_ckpts/, where bench.py
 falls back when runs/obb/train{ts}/best.ckpt is absent.
 
+`--int8` additionally quantizes every large (>= 16384 element) float32
+kernel to per-output-channel symmetric int8 (absmax/127 over all axes
+but the last — HWIO conv kernels and (in,out) dense kernels both keep
+the out channel last), halving the committed size again vs fp16. Small
+leaves (stem, BN affine, low-out-channel head convs like the 1-channel
+angle predictor) stay fp16: they are precision-sensitive and contribute
+nothing to the asset size. `load_checkpoint` dequantizes to float32 at
+load, so consumers see an ordinary fp32 tree. Used for the x-scale
+flagship assets (~59M params: fp16 would be ~118 MB per ckpt).
+
 Usage:
-  python tools/distill_bench_ckpt.py runs/e2e_synth/run128/best.ckpt \
-      assets/bench_ckpts/train128.ckpt
+  python tools/distill_bench_ckpt.py [--int8] \
+      runs/e2e_synth/run128/best.ckpt assets/bench_ckpts/train128.ckpt
 """
 
 from __future__ import annotations
@@ -25,7 +35,33 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def distill(src: str, dst: str) -> dict:
+INT8_MIN_SIZE = 16384
+
+
+def quantize_tree_int8(params):
+    """(quantized_params, {leaf_path: f32 scale vector}) — symmetric
+    per-output-channel int8 for every float32 leaf with >= INT8_MIN_SIZE
+    elements; everything else fp16 (float32 only)."""
+    from jax.tree_util import keystr, tree_flatten_with_path, tree_unflatten
+
+    flat, treedef = tree_flatten_with_path(params)
+    scales, leaves = {}, []
+    for path, leaf in flat:
+        a = np.asarray(leaf)
+        if a.dtype == np.float32 and a.ndim >= 2 and a.size >= INT8_MIN_SIZE:
+            s = np.abs(a).max(axis=tuple(range(a.ndim - 1))) / 127.0
+            s = np.maximum(s, 1e-12).astype(np.float32)
+            leaves.append(np.clip(np.rint(a / s), -127, 127)
+                          .astype(np.int8))
+            scales[keystr(path)] = s
+        elif a.dtype == np.float32:
+            leaves.append(a.astype(np.float16))
+        else:
+            leaves.append(a)
+    return tree_unflatten(treedef, leaves), scales
+
+
+def distill(src: str, dst: str, int8: bool = False) -> dict:
     with open(src, "rb") as f:
         ck = pickle.load(f)
     params = ck["ema_params"] if ck.get("ema_params") is not None \
@@ -37,15 +73,35 @@ def distill(src: str, dst: str) -> dict:
 
     import jax
 
-    payload = {
-        "step": int(ck.get("step", 0)),
-        # EMA weights become THE params; bench/inference never needs the
-        # raw (non-EMA) training params or the SGD momentum buffers
-        "params": jax.tree.map(to_f16, params),
-        "batch_stats": ck["batch_stats"],  # small; keep fp32 (BN var)
-        "ema_params": None,
-        "extra": {**ck.get("extra", {}), "distilled_fp16": True},
-    }
+    if int8:
+        # a source that is itself a distilled-fp16 asset upcasts first so
+        # the large kernels actually quantize; the written extra flags
+        # must be EXCLUSIVE (load_checkpoint branches on distilled_fp16
+        # before distilled_int8 — both set would skip dequantization)
+        up32 = lambda a: (np.asarray(a).astype(np.float32)
+                          if np.asarray(a).dtype == np.float16
+                          else np.asarray(a))
+        qparams, scales = quantize_tree_int8(jax.tree.map(up32, params))
+        extra = {k: v for k, v in ck.get("extra", {}).items()
+                 if k != "distilled_fp16"}
+        payload = {
+            "step": int(ck.get("step", 0)),
+            "params": qparams,
+            "q_scales": scales,
+            "batch_stats": ck["batch_stats"],
+            "ema_params": None,
+            "extra": {**extra, "distilled_int8": True},
+        }
+    else:
+        payload = {
+            "step": int(ck.get("step", 0)),
+            # EMA weights become THE params; bench/inference never needs
+            # the raw (non-EMA) training params or SGD momentum buffers
+            "params": jax.tree.map(to_f16, params),
+            "batch_stats": ck["batch_stats"],  # small; keep fp32 (BN var)
+            "ema_params": None,
+            "extra": {**ck.get("extra", {}), "distilled_fp16": True},
+        }
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     with open(dst, "wb") as f:
         pickle.dump(payload, f)
@@ -54,11 +110,13 @@ def distill(src: str, dst: str) -> dict:
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    int8 = "--int8" in argv
+    argv = [a for a in argv if a != "--int8"]
     if len(argv) != 2:
         print(__doc__)
         raise SystemExit(2)
     src, dst = argv
-    payload = distill(src, dst)
+    payload = distill(src, dst, int8=int8)
     n = sum(np.asarray(x).size
             for x in __import__("jax").tree.leaves(payload["params"]))
     print(f"[distill] {src} -> {dst}: {n:,} params, "
