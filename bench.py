@@ -56,7 +56,9 @@ REFERENCE_TILES_PER_SEC = 4.25  # measured, tools/baseline_cpu.py
 
 # fraction of anchors that should cross conf 0.25 under random init —
 # yields reference-like raw det counts (a few hundred per map pre-merge)
-DENSITY_TARGET = 0.01
+# density target lives with the calibrator (models/calibrate.py) so
+# bench, the sharded-parity tests and dryrun_multichip all calibrate to
+# the SAME density; imported below after the docstring constants.
 
 REPS = 7
 
@@ -65,7 +67,7 @@ REPS = 7
 # sharded-inference parity tests and __graft_entry__.dryrun_multichip can
 # produce non-vacuous (nonzero) detection sets from random init too.
 from oriented_object_detection_tpu.models.calibrate import (  # noqa: E402
-    calibrate_density as _calibrate_density)
+    DENSITY_TARGET, calibrate_density as _calibrate_density)
 
 
 def _build_detector(cfg, calibrate, use_ckpt=False, asset_tag=""):
@@ -329,8 +331,26 @@ def main():
     # fusion path real work — the only configuration where every stage
     # contributes (VERDICT r02 #4: headline)
     out = {}
+    errors: dict = {}
+
+    def _guard(name, fn):
+        """The driver runs bench ONCE at round end: a transient tunnel
+        hiccup in one section must degrade that section, not lose the
+        whole JSON contract line."""
+        try:
+            fn()
+            return True
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all
+            errors[name] = f"{type(e).__name__}: {e}"
+            print(f"[bench] section {name} FAILED: {errors[name]}",
+                  file=sys.stderr)
+            return False
+
+    headline = headline_tps = headline_weights = None
+    shared: dict = {}
     det_t, weights_t = _build_detector(cfg, calibrate=False, use_ckpt=True)
-    if det_t is not None:
+    def _sec_trained():
+        nonlocal headline, headline_tps, headline_weights
         det_t.detect_images(images)      # warmup/compile
         counts_t = [len(r["merged_for_pr"])
                     for r in det_t.detect_images(images)]
@@ -355,26 +375,32 @@ def main():
         headline_tps = n_tiles / med
         headline_weights = weights_t
 
+    def _sec_real_pixels():
         # ---- REAL reference pixels (VERDICT r03 missing #1) ----------
         # same geometry/programs, but the actual Input/Test{1,2}.png
         # scanned-map content: detection density (and therefore host
         # merge/consensus work) reflects real gradient statistics
         ref_in = "/root/reference/Input"
-        if os.path.isdir(ref_in):
-            import cv2 as _cv2
+        if not os.path.isdir(ref_in):
+            return
+        import cv2 as _cv2
 
-            real = [_cv2.imread(os.path.join(ref_in, f))
-                    for f in ("Test1.png", "Test2.png")]
-            if all(im is not None for im in real):
-                real = [jnp.asarray(im) for im in real]
-                det_t.detect_images(real)   # warmup (same programs)
-                counts_r = [len(r["merged_for_pr"])
-                            for r in det_t.detect_images(real)]
-                p10, med_r, p90 = _time_reps(
-                    lambda: det_t.detect_images(real))
-                out.update(_spread_keys("real_pixels", n_tiles,
-                                        p10, med_r, p90))
-                out["real_pixels_det_counts"] = counts_r
+        real = [_cv2.imread(os.path.join(ref_in, f))
+                for f in ("Test1.png", "Test2.png")]
+        if all(im is not None for im in real):
+            real = [jnp.asarray(im) for im in real]
+            det_t.detect_images(real)   # warmup (same programs)
+            counts_r = [len(r["merged_for_pr"])
+                        for r in det_t.detect_images(real)]
+            p10, med_r, p90 = _time_reps(
+                lambda: det_t.detect_images(real))
+            out.update(_spread_keys("real_pixels", n_tiles,
+                                    p10, med_r, p90))
+            out["real_pixels_det_counts"] = counts_r
+
+    if det_t is not None:
+        if _guard("trained", _sec_trained):
+            _guard("real_pixels", _sec_real_pixels)
     else:
         print(f"[bench] trained section skipped: {weights_t}",
               file=sys.stderr)
@@ -385,9 +411,13 @@ def main():
     # x-scale synthetic checkpoints (assets/bench_ckpts/train{ts}_x.ckpt,
     # tools/e2e_synthetic.py --scale x) — slower per tile than the n-scale
     # headline by design; this is the apples-to-apples flagship row
-    det_x, weights_x = _build_detector(cfg, calibrate=False, use_ckpt=True,
-                                       asset_tag="_x")
-    if det_x is not None:
+    def _sec_trained_x():
+        det_x, weights_x = _build_detector(cfg, calibrate=False,
+                                           use_ckpt=True, asset_tag="_x")
+        if det_x is None:
+            print(f"[bench] trained_x section skipped: {weights_x}",
+                  file=sys.stderr)
+            return
         det_x.detect_images(images)  # warmup/compile
         counts_x = [len(r["merged_for_pr"])
                     for r in det_x.detect_images(images)]
@@ -395,29 +425,33 @@ def main():
         out.update(_spread_keys("trained_x", n_tiles, p10, med_x, p90))
         out["trained_x_weights"] = weights_x
         out["trained_x_det_counts"] = counts_x
-    else:
-        print(f"[bench] trained_x section skipped: {weights_x}",
-              file=sys.stderr)
+
+    _guard("trained_x", _sec_trained_x)
 
     # ---- random+density dual-scale (cross-round device-path number) ----
-    det, weights = _build_detector(cfg, calibrate=True)
-    det.detect_images(images)            # warmup / compile
-    det_counts = [len(r["merged_for_pr"])
-                  for r in det.detect_images(images)]
-    prof.reset()
-    p10, med, p90 = _time_reps(lambda: det.detect_images(images))
-    stage_ms = {k: round(v["total_s"] * 1000.0 / REPS, 1)
-                for k, v in prof.report().items()}
-    out.update(_spread_keys("random_density", n_tiles, p10, med, p90))
-    out["random_density_weights"] = weights
-    out["random_density_det_counts"] = det_counts
-    out["stage_ms_per_rep"] = stage_ms
-    if det_t is None:
-        headline = ("golden dual-scale [128/30,416/100] yolo11x-obb "
-                    "end-to-end tiles/sec (Test1+Test2 geometry, 236 "
-                    "tiles, random+density weights)")
-        headline_tps = n_tiles / med
-        headline_weights = weights
+    def _sec_random_density():
+        nonlocal headline, headline_tps, headline_weights
+        det, weights = _build_detector(cfg, calibrate=True)
+        det.detect_images(images)        # warmup / compile
+        det_counts = [len(r["merged_for_pr"])
+                      for r in det.detect_images(images)]
+        prof.reset()
+        p10, med, p90 = _time_reps(lambda: det.detect_images(images))
+        stage_ms = {k: round(v["total_s"] * 1000.0 / REPS, 1)
+                    for k, v in prof.report().items()}
+        out.update(_spread_keys("random_density", n_tiles, p10, med, p90))
+        out["random_density_weights"] = weights
+        out["random_density_det_counts"] = det_counts
+        out["stage_ms_per_rep"] = stage_ms
+        shared["det_rd"] = det           # reused by the large-map section
+        if headline is None:
+            headline = ("golden dual-scale [128/30,416/100] yolo11x-obb "
+                        "end-to-end tiles/sec (Test1+Test2 geometry, 236 "
+                        "tiles, random+density weights)")
+            headline_tps = n_tiles / med
+            headline_weights = weights
+
+    _guard("random_density", _sec_random_density)
 
     # ---- production-scale map: 4096x4096 (1764 + 169 = 1933 tiles) -----
     # pipelined stream: map k+1's ~50 MB H2D (throttled ~35 MB/s link)
@@ -425,103 +459,136 @@ def main():
     # compute->put overlaps fully; put-first serializes), so steady-state
     # wall per map = max(upload, compute+fetch) instead of their sum.
     # Timed over per-map yield intervals, pipeline-fill interval dropped.
-    big_maps = [rng.randint(0, 255, (4096, 4096, 3)).astype(np.uint8)
-                for _ in range(REPS + 1)]
-    big_tiles = 42 * 42 + 13 * 13
-    det.detect_images([big_maps[0]])     # warmup/compile (same programs)
-    times, t_last = [], None
-    for _ in det.detect_stream(big_maps):
-        now = time.time()
-        if t_last is not None:
-            times.append(now - t_last)
-        t_last = now
-    times = times[1:]                    # drop the fill interval
-    out.update(_spread_keys(
-        "large_map", big_tiles, float(np.percentile(times, 10)),
-        float(np.median(times)), float(np.percentile(times, 90))))
+    def _sec_large_map():
+        det = shared.get("det_rd")
+        if det is None:                  # random_density section failed
+            det, _ = _build_detector(cfg, calibrate=True)
+        big_maps = [rng.randint(0, 255, (4096, 4096, 3)).astype(np.uint8)
+                    for _ in range(REPS + 1)]
+        big_tiles = 42 * 42 + 13 * 13
+        det.detect_images([big_maps[0]])  # warmup/compile (same programs)
+        times, t_last = [], None
+        for _ in det.detect_stream(big_maps):
+            now = time.time()
+            if t_last is not None:
+                times.append(now - t_last)
+            t_last = now
+        times = times[1:]                # drop the fill interval
+        out.update(_spread_keys(
+            "large_map", big_tiles, float(np.percentile(times, 10)),
+            float(np.median(times)), float(np.percentile(times, 90))))
+
+    _guard("large_map", _sec_large_map)
 
     # ---- 4ch DT-Edge single-scale 416 (BASELINE config #3) -------------
-    cfg4 = DetectConfig(scales=(ScaleConfig(416, 100),), channels=4)
-    det4, weights4 = _build_detector(cfg4, calibrate=True)
-    # (a) golden-2-map latency: 25 tiles vs ~150 ms fixed tunnel RPC —
-    # latency-bound by construction, kept for cross-round comparability
-    det4.detect_images(images)           # warmup/compile (incl. EDT)
-    p10, med, p90 = _time_reps(lambda: det4.detect_images(images))
-    out.update(_spread_keys("dtedge_4ch_416_golden2", 25, p10, med, p90))
-    # (b) batched throughput: 16 maps in ONE detect_images call (200
-    # tiles) — the production shape (`oodt detect --batch` over a
-    # folder); amortizes the fixed RPC so the number tracks the device
-    # path (model fwd + in-graph DT-Edge incl. the banded Pallas EDT)
-    import jax.numpy as jnp
-
-    batch = [gen_map(rng, H=807, W=895, n_obj=40)[0] for _ in range(8)] \
-        + [gen_map(rng, H=1028, W=1056, n_obj=40)[0] for _ in range(8)]
-    batch_tiles = 8 * 9 + 8 * 16
-    # upload ONCE and time over device-resident arrays: ~43 MB of fresh
-    # per-rep H2D rides the permanently throttled ~35 MB/s link
-    # (CLAUDE.md) and would swamp the device path this metric tracks
-    batch = [jnp.asarray(im) for im in batch]
-    det4.detect_images(batch)            # warmup/compile
-    p10, med, p90 = _time_reps(lambda: det4.detect_images(batch))
-    out.update(_spread_keys("dtedge_4ch_416", batch_tiles, p10, med, p90))
-    # (c) trained 4ch checkpoint (realistic density through the DT-Edge
-    # channel + merge), when the distilled asset is present
-    det4t, weights4t = _build_detector(cfg4, calibrate=False,
-                                       use_ckpt=True)
-    if det4t is not None:
-        counts4 = [len(r["merged_for_pr"])
-                   for r in det4t.detect_images(batch)]
-        p10, med, p90 = _time_reps(lambda: det4t.detect_images(batch))
-        out.update(_spread_keys("dtedge_4ch_416_trained", batch_tiles,
+    def _sec_4ch():
+        cfg4 = DetectConfig(scales=(ScaleConfig(416, 100),), channels=4)
+        det4, weights4 = _build_detector(cfg4, calibrate=True)
+        # (a) golden-2-map latency: 25 tiles vs ~150 ms fixed tunnel RPC
+        # — latency-bound by construction, kept for cross-round
+        # comparability
+        det4.detect_images(images)       # warmup/compile (incl. EDT)
+        p10, med, p90 = _time_reps(lambda: det4.detect_images(images))
+        out.update(_spread_keys("dtedge_4ch_416_golden2", 25,
                                 p10, med, p90))
-        out["dtedge_4ch_416_trained_weights"] = weights4t
-        out["dtedge_4ch_416_trained_dets"] = int(np.sum(counts4))
-    else:
-        print(f"[bench] 4ch trained section skipped: {weights4t}",
-              file=sys.stderr)
+        # (b) batched throughput: 16 maps in ONE detect_images call (200
+        # tiles) — the production shape (`oodt detect --batch` over a
+        # folder); amortizes the fixed RPC so the number tracks the
+        # device path (model fwd + in-graph DT-Edge incl. Pallas EDT)
+        import jax.numpy as jnp
+
+        batch = [gen_map(rng, H=807, W=895, n_obj=40)[0]
+                 for _ in range(8)] \
+            + [gen_map(rng, H=1028, W=1056, n_obj=40)[0]
+               for _ in range(8)]
+        batch_tiles = 8 * 9 + 8 * 16
+        # upload ONCE and time over device-resident arrays: ~43 MB of
+        # fresh per-rep H2D rides the permanently throttled ~35 MB/s
+        # link (CLAUDE.md) and would swamp the device path this tracks
+        batch = [jnp.asarray(im) for im in batch]
+        det4.detect_images(batch)        # warmup/compile
+        p10, med, p90 = _time_reps(lambda: det4.detect_images(batch))
+        out.update(_spread_keys("dtedge_4ch_416", batch_tiles,
+                                p10, med, p90))
+        # (c) trained 4ch checkpoint (realistic density through the
+        # DT-Edge channel + merge), when the distilled asset is present
+        det4t, weights4t = _build_detector(cfg4, calibrate=False,
+                                           use_ckpt=True)
+        if det4t is not None:
+            counts4 = [len(r["merged_for_pr"])
+                       for r in det4t.detect_images(batch)]
+            p10, med, p90 = _time_reps(lambda: det4t.detect_images(batch))
+            out.update(_spread_keys("dtedge_4ch_416_trained", batch_tiles,
+                                    p10, med, p90))
+            out["dtedge_4ch_416_trained_weights"] = weights4t
+            out["dtedge_4ch_416_trained_dets"] = int(np.sum(counts4))
+        else:
+            print(f"[bench] 4ch trained section skipped: {weights4t}",
+                  file=sys.stderr)
+
+    _guard("dtedge_4ch", _sec_4ch)
 
     # ---- dataset-scale pipelined stream (production shape) -------------
     # 80x 1000^2 maps, metrics mode, chunked stream from FRESH host
     # arrays: the honest link-inclusive production throughput (the run
     # is H2D-link-bound; uploads pipeline under compute). Full 100-map
     # run + eval suite: tools/detect_scale.py / detect_scale_r03.json.
-    import dataclasses as _dc
+    def _sec_dataset_scale():
+        import dataclasses as _dc
 
-    cfg_m = _dc.replace(cfg, calculate_metrics=True)
-    det_m, weights_m = _build_detector(cfg_m, calibrate=False,
-                                       use_ckpt=True)
-    if det_m is None:
-        det_m, weights_m = _build_detector(cfg_m, calibrate=True)
-    ds_chunk, ds_nchunks = 10, 8   # 7 post-fill intervals (>= 7-rep rule)
-    ds_maps = [gen_map(rng, H=1000, W=1000, n_obj=40)[0]
-               for _ in range(ds_chunk * ds_nchunks)]
-    ds_tiles = 100 + 9                   # per 1000^2 map at [128/30,416/100]
-    det_m.detect_images([jnp.asarray(im) for im in ds_maps[:ds_chunk]])
-    t_marks, t0 = [], time.time()
-    for i, _ in enumerate(det_m.detect_stream(ds_maps, chunk=ds_chunk)):
-        if (i + 1) % ds_chunk == 0:
-            t_marks.append(time.time())
-    ivals = np.diff([t0] + t_marks)[1:]  # drop the pipeline-fill chunk
-    out.update(_spread_keys(
-        "dataset_scale", ds_chunk * ds_tiles,
-        float(np.percentile(ivals, 10)), float(np.median(ivals)),
-        float(np.percentile(ivals, 90))))
-    out["dataset_scale_weights"] = weights_m
+        import jax.numpy as jnp
+
+        cfg_m = _dc.replace(cfg, calculate_metrics=True)
+        det_m, weights_m = _build_detector(cfg_m, calibrate=False,
+                                           use_ckpt=True)
+        if det_m is None:
+            det_m, weights_m = _build_detector(cfg_m, calibrate=True)
+        ds_chunk, ds_nchunks = 10, 8  # 7 post-fill intervals (7-rep rule)
+        ds_maps = [gen_map(rng, H=1000, W=1000, n_obj=40)[0]
+                   for _ in range(ds_chunk * ds_nchunks)]
+        ds_tiles = 100 + 9           # per 1000^2 map at [128/30,416/100]
+        det_m.detect_images([jnp.asarray(im) for im in ds_maps[:ds_chunk]])
+        t_marks, t0 = [], time.time()
+        for i, _ in enumerate(det_m.detect_stream(ds_maps, chunk=ds_chunk)):
+            if (i + 1) % ds_chunk == 0:
+                t_marks.append(time.time())
+        ivals = np.diff([t0] + t_marks)[1:]  # drop the pipeline-fill chunk
+        out.update(_spread_keys(
+            "dataset_scale", ds_chunk * ds_tiles,
+            float(np.percentile(ivals, 10)), float(np.median(ivals)),
+            float(np.percentile(ivals, 90))))
+        out["dataset_scale_weights"] = weights_m
+
+    _guard("dataset_scale", _sec_dataset_scale)
 
     # ---- raw 4096^2 exact EDT device time (VERDICT r02 #1) -------------
-    out["edt_4096_device_ms"] = _edt_4096_device_ms()
+    def _sec_edt():
+        out["edt_4096_device_ms"] = _edt_4096_device_ms()
+
+    _guard("edt_4096", _sec_edt)
 
     # ---- training-step throughput (reference train config) -------------
-    (out["train_step_ms"], out["train_imgs_per_sec"],
-     out["train_scan8_step_ms"],
-     out["train_scan8_imgs_per_sec"]) = _train_step_ms()
+    def _sec_train_step():
+        (out["train_step_ms"], out["train_imgs_per_sec"],
+         out["train_scan8_step_ms"],
+         out["train_scan8_imgs_per_sec"]) = _train_step_ms()
 
+    _guard("train_step", _sec_train_step)
+
+    if headline is None:
+        # both headline sections failed (e.g. the TPU tunnel was down
+        # for the whole run): still honor the one-JSON-line contract
+        headline = ("golden dual-scale [128/30,416/100] tiles/sec "
+                    "(UNAVAILABLE: headline sections failed, see "
+                    "bench_errors)")
     out = {
         "metric": headline,
-        "value": round(headline_tps, 2),
+        "value": round(headline_tps, 2) if headline_tps else None,
         "unit": "tiles/sec",
-        "vs_baseline": round(headline_tps / REFERENCE_TILES_PER_SEC, 2),
+        "vs_baseline": (round(headline_tps / REFERENCE_TILES_PER_SEC, 2)
+                        if headline_tps else None),
         "weights": headline_weights,
+        **({"bench_errors": errors} if errors else {}),
         **out,
     }
     print(json.dumps(out))
