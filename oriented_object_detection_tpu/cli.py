@@ -290,6 +290,55 @@ def _train(args):
            init_ckpt=args.init_ckpt)
 
 
+def _val(args):
+    """Engine `model.val()` analogue: per-tile mAP@0.5 / mAP@[0.5:0.95]
+    and the fitness (0.1*mAP50 + 0.9*mAP50-95) of a checkpoint over the
+    val tile list built by `oodt train` (no full-map stitching — that is
+    `oodt detect --metrics`)."""
+    from types import SimpleNamespace
+
+    from .utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from .config import TrainConfig
+    from .data.loader import TileDataset
+    from .eval.val import validate_tiles
+    from .models import YOLO11OBB
+    from .train.trainer import load_checkpoint
+
+    ck = load_checkpoint(args.ckpt)
+    extra = ck.get("extra", {})
+    scale = extra.get("model_scale", args.scale)
+    channels = int(extra.get("channels", args.channels))
+    ts = int(extra.get("tile_size", args.tile_size))
+    cfg = TrainConfig(tile_size=ts, channels=channels, model_scale=scale)
+
+    val_list = args.val_list or (
+        f"{args.data_root}/val_cropped_4ch.txt" if channels == 4
+        else f"{args.data_root}/val_cropped{ts}.txt")
+    if not os.path.exists(val_list):
+        raise SystemExit(
+            f"val list {val_list} not found — run `oodt train` (dataset "
+            "build) for this tile size first, or pass --val-list")
+    ds = TileDataset(val_list, ts, channels)
+
+    model = YOLO11OBB(nc=cfg.nc, scale=scale, in_channels=channels)
+    params = ck["ema_params"] if ck.get("ema_params") is not None \
+        else ck["params"]
+    state = SimpleNamespace(params=params, ema_params=params,
+                            batch_stats=ck["batch_stats"])
+    fitness, comps = validate_tiles(
+        model, state, ds, cfg, max_tiles=args.max_tiles,
+        batch_size=args.batch_size, return_components=True)
+    print(f"[VAL] ckpt={args.ckpt} scale={scale} ts={ts} "
+          f"tiles={comps['n_tiles']}")
+    print(f"[VAL] mAP@0.5={comps['mAP@0.5']:.4f} "
+          f"mAP@[0.5:0.95]={comps['mAP@[0.5:0.95]']:.4f} "
+          f"fitness={fitness:.4f}")
+    return {"fitness": fitness, **comps}
+
+
 def _convert(args):
     """Ultralytics .pt (or an .npz dump of its state dict) -> our ckpt.
 
@@ -459,6 +508,22 @@ def main(argv=None):
                         "weights_only load fails (EXECUTES code from "
                         "the checkpoint; only for trusted files)")
     c.set_defaults(fn=_convert)
+
+    v = sub.add_parser("val", help="per-tile val mAP/fitness of a "
+                                   "checkpoint (engine model.val())")
+    v.add_argument("--ckpt", required=True)
+    v.add_argument("--data-root",
+                   help="dataset root holding val_cropped{ts}.txt")
+    v.add_argument("--val-list", help="explicit val tile list file "
+                                      "(overrides --data-root)")
+    v.add_argument("--tile-size", type=int, default=416,
+                   help="fallback when the ckpt lacks tile_size metadata")
+    v.add_argument("--channels", type=int, default=3, choices=(3, 4))
+    v.add_argument("--scale", default="x",
+                   help="fallback when the ckpt lacks model_scale")
+    v.add_argument("--batch-size", type=int, default=16)
+    v.add_argument("--max-tiles", type=int)
+    v.set_defaults(fn=_val)
 
     args = p.parse_args(argv)
     args.fn(args)

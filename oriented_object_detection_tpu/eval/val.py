@@ -42,9 +42,12 @@ def _cache_put(key, factory):
 def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                    max_tiles: int | None = None,
                    batch_size: int = 16, conf_thr: float = 0.001,
-                   use_ema: bool = True) -> float:
+                   use_ema: bool = True,
+                   return_components: bool = False):
     """Engine fitness (0.1*mAP@0.5 + 0.9*mAP@[0.5:0.95]) of the current
-    params over the val tile dataset."""
+    params over the val tile dataset. With `return_components` also
+    returns the mAP breakdown dict (`oodt val`, the engine's
+    `model.val()` analogue)."""
     import jax
     import jax.numpy as jnp
 
@@ -115,4 +118,8 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                          ious, cache)
     map50 = float(out["mAP@0.5"])
     map5095 = float(out["mAP@mean"])
-    return 0.1 * map50 + 0.9 * map5095
+    fitness = 0.1 * map50 + 0.9 * map5095
+    if return_components:
+        return fitness, {"mAP@0.5": map50, "mAP@[0.5:0.95]": map5095,
+                         "n_tiles": n}
+    return fitness

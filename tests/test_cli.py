@@ -138,3 +138,28 @@ class TestConvert:
         for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+def test_val_reports_checkpoint_fitness(data_root, tmp_path, monkeypatch,
+                                        capsys):
+    """`oodt val`: engine model.val() analogue over the val tile list."""
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "run")
+    cli.main([
+        "train", "--data-root", str(data_root), "--tile-size", "64",
+        "--overlap", "16", "--epochs", "1", "--batch-size", "4",
+        "--scale", "n", "--ckpt-dir", ckpt_dir,
+    ])
+    cli.main([
+        "val", "--ckpt", os.path.join(ckpt_dir, "best.ckpt"),
+        "--data-root", str(data_root), "--batch-size", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "mAP@0.5=" in out and "fitness=" in out
+
+    # missing list errors with a hint instead of a stack trace
+    with pytest.raises(SystemExit, match="val list"):
+        cli.main([
+            "val", "--ckpt", os.path.join(ckpt_dir, "best.ckpt"),
+            "--data-root", str(tmp_path / "nowhere"),
+        ])
