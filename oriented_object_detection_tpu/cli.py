@@ -32,7 +32,6 @@ def _detect(args):
     from .eval.metrics import run_fusion_eval
     from .infer.pipeline import TiledDetector, process_image
     from .models import YOLO11OBB
-    from .train.trainer import variables_from_checkpoint
 
     # scale geometry: either --scales "128:30=ck.ckpt,416:100=ck2.ckpt"
     # (the reference's editable tile_sizes/overlaps lists,
@@ -55,10 +54,36 @@ def _detect(args):
     for ts, ov, ck in triples:
         if ck is None and not args.scales:
             continue
-        scales.append(ScaleConfig(ts, ov, checkpoint=ck,
-                                  model_scale=args.scale))
+        model_scale = args.scale
         if ck and os.path.exists(ck):
-            params[ts] = variables_from_checkpoint(ck)
+            from .train.trainer import load_checkpoint
+
+            ckd = load_checkpoint(ck)
+            extra = ckd.get("extra", {})
+            # arch metadata checks: a channel mismatch is a hard error
+            # (different stem shape — flax would die with a cryptic
+            # shape mismatch deep in apply); the checkpoint's recorded
+            # model scale wins over --scale (same rule as bench)
+            ck_ch = extra.get("channels")
+            if ck_ch is not None and int(ck_ch) != args.channels:
+                raise SystemExit(
+                    f"checkpoint {ck} was trained with channels={ck_ch} "
+                    f"but --channels {args.channels} was requested")
+            ck_sc = extra.get("model_scale")
+            if ck_sc and ck_sc != model_scale:
+                print(f"[detect] scale {ts}: using the checkpoint's "
+                      f"recorded model_scale={ck_sc} (over --scale "
+                      f"{model_scale})")
+                model_scale = ck_sc
+            ck_ts = extra.get("tile_size")
+            if ck_ts and int(ck_ts) != ts:
+                print(f"[WARN] checkpoint {ck} was trained at tile_size="
+                      f"{ck_ts}; running it at {ts} (fully "
+                      "convolutional, but detection quality follows "
+                      "the training scale)")
+            p = ckd["ema_params"] if ckd.get("ema_params") is not None \
+                else ckd["params"]
+            params[ts] = {"params": p, "batch_stats": ckd["batch_stats"]}
         else:
             if ck:
                 # a NAMED checkpoint that does not exist is an error (a
@@ -80,6 +105,8 @@ def _detect(args):
             params[ts] = m.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, ts, ts, args.channels)))
+        scales.append(ScaleConfig(ts, ov, checkpoint=ck,
+                                  model_scale=model_scale))
     if not scales:
         raise SystemExit("provide --ckpt128 and/or --ckpt416")
     sizes = [sc.tile_size for sc in scales]

@@ -163,3 +163,35 @@ def test_val_reports_checkpoint_fitness(data_root, tmp_path, monkeypatch,
             "val", "--ckpt", os.path.join(ckpt_dir, "best.ckpt"),
             "--data-root", str(tmp_path / "nowhere"),
         ])
+
+
+def test_detect_arch_metadata_checks(data_root, tmp_path, monkeypatch,
+                                     capsys):
+    """detect validates checkpoint arch metadata: channel mismatch is a
+    clear hard error; the ckpt's recorded model_scale wins over --scale
+    (instead of a cryptic flax shape error deep in apply)."""
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "run")
+    cli.main([
+        "train", "--data-root", str(data_root), "--tile-size", "64",
+        "--overlap", "16", "--epochs", "1", "--batch-size", "4",
+        "--scale", "n", "--ckpt-dir", ckpt_dir,
+    ])
+    ck = os.path.join(ckpt_dir, "best.ckpt")
+    with pytest.raises(SystemExit, match="channels"):
+        cli.main([
+            "detect", "--input", str(data_root / "images" / "val"),
+            "--output", str(tmp_path / "o4"), "--ckpt416", ck,
+            "--scale", "n", "--channels", "4",
+        ])
+    # --scale s would build a differently-shaped graph; the recorded
+    # n-scale must be adopted (run succeeds and says so)
+    cli.main([
+        "detect", "--input", str(data_root / "images" / "val"),
+        "--output", str(tmp_path / "o5"), "--ckpt416", ck,
+        "--scale", "s",
+    ])
+    out = capsys.readouterr().out
+    assert "recorded model_scale=n" in out
+    assert any(f.endswith(".xlsx")
+               for f in os.listdir(tmp_path / "o5"))
