@@ -109,3 +109,33 @@ def test_sharded_chunked_stream_matches_single():
     for a, b in zip(streamed, singles):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_4ch_dtedge_matches_single():
+    """4ch DT-Edge inference (the in-graph channel build + 4ch stem,
+    committed train416_4ch.ckpt) over the data mesh must reproduce the
+    single-device results — the DT-Edge program runs per SHARD of the
+    tile batch, so a shard-dependent EDT/percentile would show up here."""
+    assert jax.device_count() >= 8
+    ck_path = os.path.join(os.path.dirname(CKPT), "train416_4ch.ckpt")
+    ck = load_checkpoint(ck_path)
+    scale = ck["extra"].get("model_scale", "n")
+    cfg = DetectConfig(scales=(ScaleConfig(416, 100, model_scale=scale),),
+                       channels=4, compute_dtype="float32")
+    params = {416: {"params": ck["params"],
+                    "batch_stats": ck["batch_stats"]}}
+    img = _synth_map(3, H=900, W=1000, n_obj=25)   # 3x3 = 9 tiles
+
+    det1 = TiledDetector(cfg, params, max_det=32, pre_topk=64)
+    out1 = det1.detect_image(img)["merged_for_pr"]
+    assert len(out1) >= 5, f"too few detections ({len(out1)}) — vacuous"
+    assert len(_tile_ids_of(out1, stride=316)) > 2, (
+        "detections concentrated in too few tiles to span shards")
+
+    mesh = PM.make_mesh()
+    det8 = TiledDetector(cfg, params, max_det=32, pre_topk=64, mesh=mesh)
+    with mesh:
+        out8 = det8.detect_image(img)["merged_for_pr"]
+
+    assert out1.shape == out8.shape
+    np.testing.assert_allclose(out1, out8, rtol=1e-5, atol=1e-5)
