@@ -101,10 +101,22 @@ META_TILE_STRIDE = 32
 MAX_PACK_TILES = 1 << 18
 
 
+def _to_host(x) -> np.ndarray:
+    """np.asarray that also works for MULTI-PROCESS global arrays: a
+    jax.Array spanning non-addressable devices (multi-host inference DP —
+    every process runs the same detect call SPMD-style) is allgathered
+    to every host first. Single-process arrays take the plain fast path."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _unpack_rows(flat11: np.ndarray) -> np.ndarray:
     """[K, 11] fetched device rows -> [K, 13] float64 host rows
     (x1..y4, cls, conf, angle, valid, tile_id)."""
-    flat11 = np.asarray(flat11)
+    flat11 = _to_host(flat11)
     meta = flat11[:, 10].astype(np.int64)
     out = np.empty((flat11.shape[0], 13), np.float64)
     out[:, :8] = flat11[:, :8]
@@ -502,7 +514,7 @@ class TiledDetector:
 
     def _collect_scale(self, packed, merge_iou: float) -> np.ndarray:
         """One D2H fetch + host merge."""
-        flat = _unpack_rows(np.asarray(packed))      # single fetch
+        flat = _unpack_rows(_to_host(packed))        # single fetch
         self._check_cap(flat)
         return self._merge_collected(flat[flat[:, 11] > 0.5], merge_iou)
 
@@ -542,7 +554,7 @@ class TiledDetector:
 
                 def fetch():
                     with prof.timed("detect/fetch"):
-                        return _unpack_rows(np.asarray(joined)), order
+                        return _unpack_rows(_to_host(joined)), order
                 return fetch, len(images_dev)
 
             # large result (metrics mode packs EVERY per-tile slot so the
@@ -569,7 +581,7 @@ class TiledDetector:
 
         def fetch():
             with prof.timed("detect/fetch"):
-                pre_all = np.asarray(joined_pre)       # ONE D2H RPC
+                pre_all = _to_host(joined_pre)         # ONE D2H RPC
                 order, parts = [], []
                 off = 0
                 for ts, packed, k, K, segments in handles:
@@ -594,11 +606,11 @@ class TiledDetector:
         pipelined upload, but saturation is rare once the hint has
         settled). Returns UNPACKED [n, 13] float64 rows; identical to a
         full fetch because only invalid rows are skipped."""
-        parts = [np.asarray(pre_host)]
+        parts = [_to_host(pre_host)]
         got = parts[0].shape[0]
         while got < K and _meta_valid_mask(parts[-1]).all():
             k = min(K, got * 2)
-            parts.append(np.asarray(packed[got:k]))
+            parts.append(_to_host(packed[got:k]))
             got = k
         flat = _unpack_rows(parts[0] if len(parts) == 1
                             else np.concatenate(parts))
@@ -792,7 +804,7 @@ class TiledDetector:
         packed = self._crop_fns[key](
             self._params_arg(ts), jnp.asarray(crop_bgr),
             self._conf_scalar(conf_thr))
-        flat = np.asarray(packed, np.float64)
+        flat = _to_host(packed).astype(np.float64)
         return Detections(flat[flat[:, 11] > 0.5][:, :11])
 
 

@@ -319,3 +319,81 @@ class TestTwoProcessRuntime:
 
         ref = self._reference_loss()
         np.testing.assert_allclose(results[0]["loss"], ref, rtol=1e-4)
+
+
+class TestTwoProcessInference:
+    """Multi-host inference DP (beyond the reference, which never runs
+    multi-GPU inference): two jax.distributed processes execute the SAME
+    detect call over a global 8-device mesh; the packed result spans
+    non-addressable devices and is allgathered by pipeline._to_host."""
+
+    def _single_process_rows(self):
+        import os
+
+        import numpy as np
+
+        from oriented_object_detection_tpu.config import (DetectConfig,
+                                                          ScaleConfig)
+        from oriented_object_detection_tpu.infer.pipeline import (
+            TiledDetector)
+        from oriented_object_detection_tpu.train.trainer import (
+            load_checkpoint)
+        from tools.train_synthetic import gen_map
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ck = load_checkpoint(os.path.join(
+            root, "assets", "bench_ckpts", "train128.ckpt"))
+        cfg = DetectConfig(
+            scales=(ScaleConfig(128, 30,
+                                model_scale=ck["extra"]["model_scale"]),),
+            channels=3, compute_dtype="float32")
+        params = {128: {"params": ck["params"],
+                        "batch_stats": ck["batch_stats"]}}
+        img = gen_map(np.random.RandomState(0), H=400, W=500, n_obj=15)[0]
+        det = TiledDetector(cfg, params, max_det=32, pre_topk=64)
+        return np.asarray(det.detect_image(img)["merged_for_pr"])
+
+    def test_two_process_detect_matches_single(self, tmp_path):
+        import json
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker = os.path.join(root, "tools", "dist_infer_worker.py")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS",)}
+        outs = [str(tmp_path / f"di{i}.json") for i in range(2)]
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        procs = [subprocess.Popen(
+            [_sys.executable, worker, coord, "2", str(i), outs[i]],
+            env=env, cwd=root, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for i in range(2)]
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("distributed inference workers timed out")
+            logs.append(out.decode(errors="replace"))
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-2000:]
+
+        results = [json.load(open(o)) for o in outs]
+        rows = [np.asarray(r["rows"]) for r in results]
+        for r in results:
+            assert r["process_count"] == 2
+            assert r["n_devices_global"] == 8
+        # both processes saw the identical global result
+        np.testing.assert_array_equal(rows[0], rows[1])
+        single = self._single_process_rows()
+        assert len(single) >= 8, "vacuous: too few detections"
+        assert rows[0].shape == single.shape
+        # f32 partitioning tolerance (different device-partition sums)
+        np.testing.assert_allclose(rows[0], single, rtol=1e-4, atol=1e-3)
