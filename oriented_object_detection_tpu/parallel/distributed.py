@@ -8,6 +8,13 @@ gradient all-reduce over ICI within a slice and DCN across hosts. Nothing
 else in the framework changes: params stay replicated, batches shard on
 the global mesh, per-host input pipelines feed their local shard via
 `host_local_batch_to_global`.
+
+Inference scales the same way (beyond the reference, which never runs
+multi-GPU inference): every process executes the same
+`TiledDetector(..., mesh=global_mesh).detect_image(...)` SPMD-style and
+`infer/pipeline._to_host` allgathers the packed result to every host
+(tools/dist_infer_worker.py + tests/test_distributed.py prove 2-process
+parity with the single-device rows).
 """
 
 from __future__ import annotations
