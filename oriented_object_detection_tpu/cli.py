@@ -198,6 +198,17 @@ def _detect(args):
 
 
 def _train(args):
+    # join the multi-process runtime FIRST (before any backend touch):
+    # the reference's DDP launch (Train_OBB.py:39-42) becomes
+    # jax.distributed here — on TPU pods the coordinator auto-detects,
+    # on CPU/test rigs pass --coordinator/--num-processes/--process-id
+    if getattr(args, "dist", False):
+        from .parallel import distributed as DIST
+
+        DIST.initialize(coordinator_address=args.coordinator,
+                        num_processes=args.num_processes,
+                        process_id=args.process_id)
+
     import jax
     import numpy as np
 
@@ -239,7 +250,11 @@ def _train(args):
     train_list = f"{root}/train_cropped{ts}.txt"
     val_list = f"{root}/val_cropped{ts}.txt"
 
-    if cfg.need_cropping:
+    # multi-process: the tiling/augmentation/TIFF preprocessing writes
+    # shared files — process 0 does it alone, everyone else waits at the
+    # barrier below (the reference's DDP equivalent: RANK-0 dataset prep)
+    main = jax.process_index() == 0
+    if cfg.need_cropping and main:
         stats = DS.build_train_tiles(
             dirs["img"], dirs["lbl"], dirs["oimg"], dirs["olbl"],
             train_list, ts, cfg.overlap,
@@ -265,31 +280,45 @@ def _train(args):
             r_target=cfg.r_target)
 
     if cfg.channels == 4 and cfg.apply_filtered_rgb:
-        tr = DS.convert_folder_to_4ch_tiff(
-            dirs["oimg"], f"{root}/cropped4/images/train")
-        va = DS.convert_folder_to_4ch_tiff(
-            dirs["voimg"], f"{root}/cropped4/images/val")
-        DS.mirror_labels_by_stem(
-            dirs["olbl"], f"{root}/cropped4/labels/train",
-            [os.path.splitext(os.path.basename(p))[0] for p in tr])
-        DS.mirror_labels_by_stem(
-            dirs["volbl"], f"{root}/cropped4/labels/val",
-            [os.path.splitext(os.path.basename(p))[0] for p in va])
-        DS.update_list_file(f"{root}/train_cropped_4ch.txt", tr)
-        DS.update_list_file(f"{root}/val_cropped_4ch.txt", va)
+        if main:
+            tr = DS.convert_folder_to_4ch_tiff(
+                dirs["oimg"], f"{root}/cropped4/images/train")
+            va = DS.convert_folder_to_4ch_tiff(
+                dirs["voimg"], f"{root}/cropped4/images/val")
+            DS.mirror_labels_by_stem(
+                dirs["olbl"], f"{root}/cropped4/labels/train",
+                [os.path.splitext(os.path.basename(p))[0] for p in tr])
+            DS.mirror_labels_by_stem(
+                dirs["volbl"], f"{root}/cropped4/labels/val",
+                [os.path.splitext(os.path.basename(p))[0] for p in va])
+            DS.update_list_file(f"{root}/train_cropped_4ch.txt", tr)
+            DS.update_list_file(f"{root}/val_cropped_4ch.txt", va)
         train_list = f"{root}/train_cropped_4ch.txt"
         val_list = f"{root}/val_cropped_4ch.txt"
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("oodt_preprocess_done")
 
     train_ds = TileDataset(train_list, ts, cfg.channels)
     val_ds = TileDataset(val_list, ts, cfg.channels)
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
-    print(f"[TRAIN] {len(train_ds)} train tiles, {len(val_ds)} val tiles, "
-          f"{steps_per_epoch} steps/epoch")
+    if main:
+        print(f"[TRAIN] {len(train_ds)} train tiles, {len(val_ds)} val "
+              f"tiles, {steps_per_epoch} steps/epoch")
 
     model, state, tx = TR.create_train_state(
         cfg, jax.random.PRNGKey(cfg.seed), steps_per_epoch)
-    n_data = PM.best_data_axis_size(cfg.batch_size)
-    mesh = PM.make_mesh(n_data=n_data) if n_data > 1 else None
+    if jax.process_count() > 1:
+        # the mesh must SPAN the processes (make_mesh's first-k-global
+        # device pick would land entirely on process 0 for small k)
+        from .parallel import distributed as DIST
+
+        mesh = DIST.make_global_data_mesh(cfg.batch_size)
+    else:
+        n_data = PM.best_data_axis_size(cfg.batch_size)
+        mesh = PM.make_mesh(n_data=n_data) if n_data > 1 else None
 
     rng = np.random.RandomState(cfg.seed)
 
@@ -301,14 +330,36 @@ def _train(args):
         mp = mosaic_p_for_epoch(epoch, cfg.epochs, cfg.close_mosaic)
         if mp == 0.0 and not closed:
             closed.append(epoch)
-            print(f"[close_mosaic] mosaic disabled for the final "
-                  f"{cfg.close_mosaic} epochs (engine default)")
+            if main:
+                print(f"[close_mosaic] mosaic disabled for the final "
+                      f"{cfg.close_mosaic} epochs (engine default)")
         return train_ds.batches(cfg.batch_size, rng, augment=True,
                                 mosaic_p=mp)
+
+    procs = jax.process_count()
+    if procs > 1:
+        # every process builds the SAME deterministic global batch stream
+        # (same lists, same seed) and feeds fit() its local row slice;
+        # fit() reassembles the global sharded array per step
+        if cfg.batch_size % procs:
+            raise SystemExit(f"--batch-size {cfg.batch_size} must divide "
+                             f"by the {procs} processes")
+        pid, rows = jax.process_index(), cfg.batch_size // procs
+        _global_batches = train_batches
+
+        def train_batches(epoch, _g=_global_batches):
+            for b in _g(epoch):
+                yield {k: v[pid * rows:(pid + 1) * rows]
+                       for k, v in b.items()}
 
     from .eval.val import validate_tiles
 
     def val_fn(s):
+        if procs > 1:
+            # validate_tiles runs per-process local programs: feed it a
+            # host snapshot of the (replicated) global state — identical
+            # on every process, so fitness/early-stop stay consistent
+            s = jax.tree.map(np.asarray, s)
         return validate_tiles(model, s, val_ds, cfg)
 
     ckpt_dir = args.ckpt_dir or f"runs/obb/train{ts}"
@@ -489,6 +540,16 @@ def main(argv=None):
     d.set_defaults(fn=_detect)
 
     t = sub.add_parser("train", help="dataset build + training")
+    t.add_argument("--dist", action="store_true",
+                   help="join a jax.distributed multi-process runtime "
+                        "(DDP analogue, Train_OBB.py:39-42): process 0 "
+                        "preps data + writes artifacts, every process "
+                        "feeds its local batch shard")
+    t.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (auto-detected on TPU "
+                        "pods; required for CPU/test rigs)")
+    t.add_argument("--num-processes", type=int, default=None)
+    t.add_argument("--process-id", type=int, default=None)
     t.add_argument("--data-root", default="datasets/GeoMap")
     t.add_argument("--tile-size", type=int, default=416)
     t.add_argument("--overlap", type=int, default=100)

@@ -471,10 +471,19 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
     better). Early-stops after `cfg.patience` epochs without improvement;
     writes best.ckpt / last.ckpt. `resume=True` restores last.ckpt from
     ckpt_dir if present; `init_ckpt` warm-starts params/EMA from a
-    converted checkpoint (ignored when resuming)."""
+    converted checkpoint (ignored when resuming).
+
+    Multi-process (jax.distributed) semantics mirror the reference's DDP
+    trainer (Train_OBB.py:39-42): every process runs the SAME loop SPMD
+    over the global mesh — `train_batches` yields each process's LOCAL
+    rows (global_batch / num_hosts), assembled into one global sharded
+    array per step — while checkpoints, results.csv/plots, and log lines
+    are written by process 0 only. Control flow (best/early-stop) stays
+    consistent across processes because metrics are fully replicated."""
     step_fn = make_train_step(model, tx, cfg, LossConfig(
         nc=cfg.nc, img_size=cfg.tile_size, box_gain=cfg.box_gain,
         cls_gain=cfg.cls_gain, dfl_gain=cfg.dfl_gain))
+    main = jax.process_index() == 0
 
     start_epoch = 0
     best, best_epoch = -float("inf"), -1
@@ -485,18 +494,33 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
         start_epoch = int(ck["extra"].get("epoch", -1)) + 1
         best = float(ck["extra"].get("best_fitness", best))
         best_epoch = int(ck["extra"].get("best_epoch", best_epoch))
-        print(f"[Resume] from {last_path} @ epoch {start_epoch}")
+        if main:
+            print(f"[Resume] from {last_path} @ epoch {start_epoch}")
     elif init_ckpt:
         if not os.path.exists(init_ckpt):
             raise FileNotFoundError(f"--init-ckpt {init_ckpt} not found")
         state = warm_start_state(init_ckpt, state, expect={
             "model_scale": cfg.model_scale, "channels": cfg.channels})
-        print(f"[WarmStart] params/EMA initialized from {init_ckpt}")
+        if main:
+            print(f"[WarmStart] params/EMA initialized from {init_ckpt}")
+
+    if jax.process_count() > 1:
+        if mesh is None:
+            raise ValueError(
+                "fit() in a multi-process runtime requires a global mesh "
+                "— without one each process would train independently")
+        # every process holds the same (host or local-device) state copy;
+        # turn it into ONE global array replicated over the multi-host
+        # mesh — committed local device buffers can't feed a global-mesh
+        # program, so snapshot to host first
+        state = PM.replicate(jax.tree.map(np.asarray, state), mesh)
 
     from ..utils.plots import ResultsWriter, write_args_yaml
 
-    results = ResultsWriter(ckpt_dir, plots=getattr(cfg, "plots", True))
-    write_args_yaml(ckpt_dir, cfg)   # engine run-dir artifact parity
+    results = None
+    if main:
+        results = ResultsWriter(ckpt_dir, plots=getattr(cfg, "plots", True))
+        write_args_yaml(ckpt_dir, cfg)   # engine run-dir artifact parity
     # metric accumulation stays ON DEVICE for the whole epoch: one host
     # fetch per epoch (+ one per log_every print) instead of per step —
     # per-step fetches cost ~35-70 ms of tunnel RPC each AND break the
@@ -509,7 +533,8 @@ def fit(model, state: TrainState, tx, cfg: TrainConfig, train_batches,
     # repurposes as the step axis)
     spd = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
     if mesh is not None and spd > 1:
-        print("[fit] steps_per_dispatch ignored under a device mesh")
+        if main:
+            print("[fit] steps_per_dispatch ignored under a device mesh")
         spd = 1
     multi_fn = make_train_step_multi(step_fn, spd) if spd > 1 else None
     acc_multi = jax.jit(lambda a, m: a + m.sum(0)) if spd > 1 else None
@@ -543,6 +568,10 @@ def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
                 step_fn, acc_fn, spd, multi_fn, acc_multi, results,
                 log_every, start_epoch, best, best_epoch, last_path,
                 pending, _join_pending):
+    main = jax.process_index() == 0
+    multiproc = mesh is not None and jax.process_count() > 1
+    if multiproc:
+        from ..parallel import distributed as DIST
     for epoch in range(start_epoch, cfg.epochs):
         acc = jnp.zeros((len(METRIC_KEYS),), jnp.float32)
         count = 0
@@ -571,7 +600,7 @@ def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
         # dispatch exists to amortize (ADVICE r03 #3)
         log_every_groups = max(1, round(log_every / spd))
         for i, batch in enumerate(train_batches(epoch)):
-            if epoch == start_epoch and i == 0 \
+            if epoch == start_epoch and i == 0 and main \
                     and getattr(cfg, "plots", True):
                 # engine `plots=True` parity: augmented first-batch mosaic
                 # (one host fetch, once per fit)
@@ -580,11 +609,15 @@ def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
                 plot_train_batch(batch, os.path.join(
                     ckpt_dir, "train_batch0.jpg"))
             if mesh is not None:
-                batch = PM.shard_batch(batch, mesh)
+                # multi-process: `batch` is this process's LOCAL rows;
+                # assemble the global sharded array (DDP input semantics)
+                batch = (DIST.host_local_batch_to_global(batch, mesh)
+                         if multiproc else PM.shard_batch(batch, mesh))
             if spd > 1:
                 group.append(batch)
                 if len(group) == spd:
-                    do_log = ((i + 1) // spd - 1) % log_every_groups == 0
+                    do_log = main and \
+                        ((i + 1) // spd - 1) % log_every_groups == 0
                     state, acc, count = flush(state, acc, count)
                     if do_log:
                         m = metrics_dict(last_ms[0][-1])
@@ -594,7 +627,7 @@ def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
                 continue
             state, metrics = step_fn(state, batch)
             acc = acc_fn(acc, metrics)
-            if i % log_every == 0:
+            if main and i % log_every == 0:
                 m = metrics_dict(metrics)
                 print(f"epoch {epoch} step {i}: "
                       f"loss={m['loss']:.4f} box={m['box']:.4f} "
@@ -602,13 +635,14 @@ def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
             count += 1
         if spd > 1:
             state, acc, count = flush(state, acc, count)
-        sums = metrics_dict(acc)
         fitness = float(val_fn(state)) if val_fn is not None else 0.0
-        lr_now = float(schedule_hypers(
-            np.asarray(state.sched), int(state.step))["lr"])
-        results.append(
-            epoch=epoch, fitness=fitness, lr=lr_now,
-            **{k: (sums[k] / max(count, 1)) for k in sums})
+        if results is not None:   # process 0 only (None on other hosts)
+            sums = metrics_dict(acc)
+            lr_now = float(schedule_hypers(
+                np.asarray(state.sched), int(state.step))["lr"])
+            results.append(
+                epoch=epoch, fitness=fitness, lr=lr_now,
+                **{k: (sums[k] / max(count, 1)) for k in sums})
         meta = {"model_scale": cfg.model_scale, "channels": cfg.channels,
                 "tile_size": cfg.tile_size}
         jobs = []
@@ -624,13 +658,19 @@ def _fit_epochs(model, state, cfg, train_batches, val_fn, ckpt_dir, mesh,
         # buffers), then fetch/pickle/write in a background thread while
         # the next epoch trains — checkpoint D2H was 60-120 s/epoch for
         # the x-scale when fetched leaf-by-leaf in the loop
+        # the snapshot program must run on EVERY process (computations on
+        # a non-fully-addressable mesh are SPMD launches); only process 0
+        # fetches the replicated pack and writes the files
         snap = device_state_snapshot(state)
-        _join_pending()
-        saver = _AsyncSaver(snap, jobs)
-        pending.append(saver)
-        saver.start()
+        if main:
+            _join_pending()
+            saver = _AsyncSaver(snap, jobs)
+            pending.append(saver)
+            saver.start()
         if epoch - best_epoch >= cfg.patience:
-            print(f"[EarlyStop] no improvement for {cfg.patience} epochs "
-                  f"(best fitness {best:.4f} @ epoch {best_epoch})")
+            if main:
+                print(f"[EarlyStop] no improvement for {cfg.patience} "
+                      f"epochs (best fitness {best:.4f} @ epoch "
+                      f"{best_epoch})")
             break
     return state
