@@ -39,6 +39,29 @@ def _cache_put(key, factory):
     return _INFER_CACHE[key]
 
 
+def _letterbox_np(img: np.ndarray, new_size: int, pad_value: int = 114):
+    """Host numpy twin of ops/image.letterbox (same rounding semantics):
+    aspect-preserving resize + center pad with 114 — the engine's val
+    preprocessing. Returns (out, r, (dw, dh)); a point (x, y) in the
+    source maps to (x*r + dw, y*r + dh). Used for off-size val tiles
+    (partial edge tiles / foreign sizes) instead of aspect-distorting
+    cv2.resize (VERDICT r04 #9)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    r = min(new_size / h, new_size / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    if resized.ndim == 2:
+        resized = resized[:, :, None]
+    dh, dw = (new_size - nh) / 2, (new_size - nw) / 2
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    out = np.full((new_size, new_size, img.shape[2]), pad_value,
+                  img.dtype)
+    out[top:top + nh, left:left + nw] = resized
+    return out, r, (left, top)
+
+
 def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                    max_tiles: int | None = None,
                    batch_size: int = 16, conf_thr: float = 0.001,
@@ -91,13 +114,24 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
         for bi, i in enumerate(idx):
             img, lab = val_ds.get(i)
             if img.shape[:2] != (ts, ts):
-                import cv2
-                img = cv2.resize(img, (ts, ts))
+                # engine letterbox semantics: dets come out in the
+                # letterboxed frame, so the GT (normalized to the
+                # SOURCE tile) maps through the same (r, dw, dh)
+                h0, w0 = img.shape[:2]
+                img, r, (dw, dh) = _letterbox_np(img, ts)
+                if len(lab):
+                    gt = lab.copy()
+                    gt[:, 1:9:2] = gt[:, 1:9:2] * w0 * r + dw
+                    gt[:, 2:9:2] = gt[:, 2:9:2] * h0 * r + dh
+                else:
+                    gt = np.zeros((0, 9))
+            else:
+                gt = np.concatenate(
+                    [lab[:, :1], lab[:, 1:] * ts], axis=1) \
+                    if len(lab) else np.zeros((0, 9))
             imgs[bi] = img
             key = val_ds.paths[i]
-            gt_map[key] = np.concatenate(
-                [lab[:, :1], lab[:, 1:] * ts], axis=1) \
-                if len(lab) else np.zeros((0, 9))
+            gt_map[key] = gt
             metas.append(key)
         dets = infer(jnp.asarray(imgs) / 255.0)
         c8 = np.asarray(dets["corners8"], np.float64)
