@@ -94,7 +94,16 @@ def plot_train_batch(batch_host: dict, path: str,
                      max_tiles: int = 16) -> None:
     """`train_batch0.jpg` analogue (the engine writes augmented-batch
     mosaics with `plots=True`): a grid of the first tiles with their
-    rotated GT boxes drawn. Host-side; silently skipped without cv2."""
+    rotated GT boxes drawn. Host-side; silently skipped without cv2.
+    Never raises — a cosmetic artifact must not kill a training run."""
+    try:
+        _plot_train_batch(batch_host, path, max_tiles)
+    except Exception as e:  # warn-and-continue (engine plots semantics)
+        print(f"[Plots] train_batch plot failed (continuing): {e}")
+
+
+def _plot_train_batch(batch_host: dict, path: str,
+                      max_tiles: int = 16) -> None:
     import numpy as np
 
     try:
@@ -112,7 +121,11 @@ def plot_train_batch(batch_host: dict, path: str,
         tile = imgs[k]
         if tile.max() <= 1.5:            # loader feeds [0, 1] floats
             tile = tile * 255.0
-        tile = np.clip(tile[..., :3], 0, 255).astype(np.uint8)
+        # ascontiguousarray is REQUIRED: np.asarray of a TPU-tunnel
+        # device array is non-contiguous, and clip/astype preserve the
+        # layout (order 'K') — cv2 5.0 rejects non-contiguous images
+        tile = np.ascontiguousarray(
+            np.clip(tile[..., :3], 0, 255).astype(np.uint8))
         for b, m in zip(boxes[k], mask[k]):
             if not m:
                 continue
