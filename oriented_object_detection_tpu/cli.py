@@ -21,6 +21,15 @@ import time
 
 
 def _detect(args):
+    # multi-host inference DP: join the runtime BEFORE any backend touch
+    # (same ordering rule as `oodt train --dist`)
+    if getattr(args, "dist", False):
+        from .parallel import distributed as DIST
+
+        DIST.initialize(coordinator_address=args.coordinator,
+                        num_processes=args.num_processes,
+                        process_id=args.process_id)
+
     import cv2  # noqa: F401  (fail early if unavailable)
     import jax
 
@@ -123,11 +132,31 @@ def _detect(args):
                        apply_border_filter=not args.no_border_filter,
                        margin_128=args.margin_128,
                        margin_416=args.margin_416)
-    det = TiledDetector(cfg, params)
+    mesh = None
+    main = True
+    if getattr(args, "dist", False):
+        from .parallel import mesh as PM
 
-    os.makedirs(args.output, exist_ok=True)
+        mesh = PM.make_mesh()   # tile batch sharded over ALL global devs
+        main = jax.process_index() == 0
+        if not (args.batch or args.stream or args.chunk):
+            # the per-image path writes artifacts inside process_image;
+            # multi-host runs use the batched SPMD path where RANK-0
+            # gating is explicit
+            args.batch = True
+            if main:
+                print("[detect] --dist implies --batch")
+    det = TiledDetector(cfg, params, mesh=mesh)
+
+    if main:
+        os.makedirs(args.output, exist_ok=True)
     t0 = time.time()
     store: dict = {}
+    import contextlib
+
+    _stack = contextlib.ExitStack()
+    if mesh is not None:
+        _stack.enter_context(mesh)   # dispatches shard over the mesh
     names = [f for f in sorted(os.listdir(args.input))
              if f.lower().endswith(
                  (".jpg", ".png", ".jpeg", ".tif", ".tiff"))]
@@ -170,13 +199,15 @@ def _detect(args):
         for (p, im), res in pairs:
             stem = os.path.splitext(os.path.basename(p))[0]
             merged = res["merged_for_pr"]
+            store.setdefault("pr", {})[p] = merged
+            if "merged_for_map" in res:
+                store.setdefault("map", {})[p] = res["merged_for_map"]
+            if not main:   # rank-0 artifact gating (multi-host detect)
+                continue
             _cv2.imwrite(os.path.join(args.output,
                                       f"{stem}_detected.jpg"),
                          draw_detections(im, merged))
             export_xlsx(os.path.join(args.output, f"{stem}.xlsx"), merged)
-            store.setdefault("pr", {})[p] = merged
-            if "merged_for_map" in res:
-                store.setdefault("map", {})[p] = res["merged_for_map"]
             print(f"Results saved for {os.path.basename(p)}")
     else:
         for fname in names:
@@ -184,9 +215,11 @@ def _detect(args):
             process_image(det, os.path.join(args.input, fname),
                           args.output, store=store)
             print(f"Results saved for {fname}")
-    print(f"--- {time.time() - t0:.2f} seconds ---")
+    _stack.close()
+    if main:
+        print(f"--- {time.time() - t0:.2f} seconds ---")
 
-    if args.metrics:
+    if args.metrics and main:
         try:
             run_fusion_eval(store.get("pr", {}), args.input, args.output,
                             iou_thr=cfg.metrics_iou,
@@ -434,33 +467,19 @@ def _convert(args):
     if args.pt.endswith(".npz"):
         sd = {k: np.asarray(v) for k, v in np.load(args.pt).items()}
     else:
-        import torch
+        # torch-free restricted reader: parses the torch zip format
+        # directly (pt_reader.py), resolving ultralytics/torch classes
+        # to inert stubs — no torch install needed and, unlike
+        # torch.load(weights_only=False), no checkpoint-embedded code
+        # ever executes. Prefers the `ema` entry like the engine's
+        # attempt_load_one_weight.
+        from .models.pt_reader import read_pt_state_dict
 
         try:
-            # weights_only=True refuses pickled code execution; real
-            # ultralytics .pt files wrap an nn.Module and genuinely need
-            # full unpickling, which runs arbitrary code from the file —
-            # that fallback is gated behind an explicit flag so a
-            # malicious checkpoint cannot ride an automatic retry
-            ck = torch.load(args.pt, map_location="cpu",
-                            weights_only=True)
-        except Exception as e:
-            if not args.unsafe_load:
-                raise SystemExit(
-                    f"safe (weights_only) load failed: {e}\n"
-                    "Full unpickling EXECUTES code embedded in the "
-                    "checkpoint. If you trust the file (e.g. the "
-                    "reference's published weights, README.md:183-188), "
-                    "re-run with --unsafe-load.")
-            print("[Convert] weights_only load failed; --unsafe-load "
-                  "given — full unpickling (executes checkpoint code)")
-            ck = torch.load(args.pt, map_location="cpu",
-                            weights_only=False)
-        model = ck.get("model", ck) if isinstance(ck, dict) else ck
-        state = model.state_dict() if hasattr(model, "state_dict") \
-            else model
-        sd = {k: np.asarray(v.float().numpy() if hasattr(v, "numpy")
-                            else v) for k, v in state.items()}
+            sd = read_pt_state_dict(args.pt)
+        except ValueError as e:
+            raise SystemExit(f"cannot read {args.pt}: {e}")
+        print(f"[Convert] read {len(sd)} tensors (torch-free)")
 
     variables = convert_state_dict(
         sd, reverse_stem_channels=args.channels == 4)
@@ -537,6 +556,16 @@ def main(argv=None):
                         "checkpoint path does not exist (default: error)")
     d.add_argument("--margin-128", type=int, default=10)
     d.add_argument("--margin-416", type=int, default=20)
+    d.add_argument("--dist", action="store_true",
+                   help="multi-host inference DP: join a "
+                        "jax.distributed runtime, shard the tile batch "
+                        "over the GLOBAL mesh, write artifacts from "
+                        "process 0 only (implies --batch)")
+    d.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (auto-detected on TPU "
+                        "pods; required for CPU/test rigs)")
+    d.add_argument("--num-processes", type=int, default=None)
+    d.add_argument("--process-id", type=int, default=None)
     d.set_defaults(fn=_detect)
 
     t = sub.add_parser("train", help="dataset build + training")
@@ -591,10 +620,6 @@ def main(argv=None):
     c.add_argument("--imgsz", type=int, default=416)
     c.add_argument("--force", action="store_true",
                    help="write even if some model arrays are missing")
-    c.add_argument("--unsafe-load", action="store_true",
-                   help="allow full torch unpickling when the "
-                        "weights_only load fails (EXECUTES code from "
-                        "the checkpoint; only for trusted files)")
     c.set_defaults(fn=_convert)
 
     v = sub.add_parser("val", help="per-tile val mAP/fitness of a "

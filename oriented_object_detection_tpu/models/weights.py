@@ -8,10 +8,12 @@ state-dict-level converter from the ultralytics YOLO11-OBB module tree to
 this package's flax module tree (`l0..l23`, see `yolo11_obb.py`).
 
 Usage paths:
-  * `convert_state_dict(sd, ...)` — sd is a {name: np.ndarray} state dict
-    (e.g. extracted elsewhere via `torch.save(model.model.state_dict())`
-    from ultralytics; full .pt files pickle ultralytics classes and cannot
-    be unpickled without that package installed).
+  * `convert_state_dict(sd, ...)` — sd is a {name: np.ndarray} state
+    dict. Full ultralytics `.pt` files are ingested torch-free by
+    `pt_reader.read_pt_state_dict` (restricted unpickler over the torch
+    zip format; ultralytics/torch classes become inert stubs), so
+    `oodt convert best416.pt` works with neither torch nor ultralytics
+    installed.
   * `export_state_dict(variables, ...)` — the inverse, for round-trip
     validation and for exporting our checkpoints to torch consumers.
 
