@@ -294,9 +294,18 @@ def _train_step_ms():
 
 def main():
     from oriented_object_detection_tpu.utils.runtime import (
-        enable_compilation_cache)
+        enable_compilation_cache, link_health_probe)
 
     enable_compilation_cache()
+
+    # link health FIRST (fresh-link regime, before any big program):
+    # cross-round throughput deltas are ~2x tunnel weather — the probe
+    # makes them attributable (VERDICT r04 #7)
+    try:
+        probe = link_health_probe()
+    except Exception as e:  # noqa: BLE001 — probe must not kill bench
+        probe = {"link_probe_error": f"{type(e).__name__}: {e}"}
+    print(f"[bench] link probe: {probe}", file=sys.stderr)
 
     from oriented_object_detection_tpu.config import (DetectConfig,
                                                       ScaleConfig)
@@ -581,6 +590,13 @@ def main():
         headline = ("golden dual-scale [128/30,416/100] tiles/sec "
                     "(UNAVAILABLE: headline sections failed, see "
                     "bench_errors)")
+    # end-of-run D2H latency (post-throttle regime): paired with the
+    # fresh-link probe this brackets the run's tunnel weather
+    try:
+        probe["link_d2h_rpc_ms_end"] = link_health_probe(h2d_mb=1)[
+            "link_d2h_rpc_ms"]
+    except Exception:  # noqa: BLE001
+        pass
     out = {
         "metric": headline,
         "value": round(headline_tps, 2) if headline_tps else None,
@@ -588,6 +604,7 @@ def main():
         "vs_baseline": (round(headline_tps / REFERENCE_TILES_PER_SEC, 2)
                         if headline_tps else None),
         "weights": headline_weights,
+        **probe,
         **({"bench_errors": errors} if errors else {}),
         **out,
     }

@@ -73,3 +73,55 @@ def unpack_tree(bufs, spec):
     import jax
 
     return jax.tree.unflatten(treedef, leaves)
+
+
+def link_health_probe(h2d_mb: int = 16, rpc_reps: int = 5) -> dict:
+    """Measure tunnel link health at run time (VERDICT r04 #7).
+
+    The remote-device link varies ~2x day to day, so cross-round
+    throughput numbers are not comparable without the run's own link
+    measurements embedded in the artifact. Returns:
+
+      * ``link_d2h_rpc_ms`` — median latency of a tiny device->host
+        fetch (pure RPC round-trip; ~35-70 ms through the axon tunnel,
+        ~0 ms on local devices). Distinct arrays per rep: jax caches a
+        fetched Array's host value, so re-fetching one array is free.
+      * ``link_h2d_mbps`` — effective host->device bandwidth for one
+        ``h2d_mb``-MB upload, measured upload->tiny-dependent-fetch
+        (block_until_ready only acks ENQUEUE through the tunnel) with
+        the RPC latency subtracted. NOTE the box throttles H2D ~700 ->
+        ~35 MB/s permanently after any large program executes — probe
+        BEFORE the workload for fresh-link health, after for the
+        throttled regime.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # warm: materialize the backend + the trivial add program
+    warm = jnp.zeros((4,), jnp.float32) + 1.0
+    np.asarray(warm)
+
+    small = [jnp.zeros((4,), jnp.float32) + float(i + 2)
+             for i in range(rpc_reps)]
+    for s in small:
+        s.block_until_ready()
+    lat = []
+    for s in small:
+        t0 = time.perf_counter()
+        np.asarray(s)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    rpc_ms = float(np.median(lat))
+
+    buf = np.random.default_rng(0).integers(
+        0, 255, (h2d_mb * 1024 * 1024,), np.uint8)
+    t0 = time.perf_counter()
+    dev = jnp.asarray(buf)
+    # dependent fetch forces the upload to have completed
+    np.asarray(dev[:4])
+    dt = time.perf_counter() - t0 - rpc_ms / 1e3
+    mbps = h2d_mb / max(dt, 1e-6)
+    return {"link_d2h_rpc_ms": round(rpc_ms, 2),
+            "link_h2d_mbps": round(float(mbps), 1)}

@@ -41,9 +41,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from oriented_object_detection_tpu.utils.runtime import (
-        enable_compilation_cache)
+        enable_compilation_cache, link_health_probe)
 
     enable_compilation_cache()
+    # fresh-link health embedded in the artifact: cross-round tiles/sec
+    # deltas are ~2x tunnel weather otherwise (VERDICT r04 #7)
+    try:
+        probe = link_health_probe()
+    except Exception as e:  # noqa: BLE001
+        probe = {"link_probe_error": f"{type(e).__name__}: {e}"}
+    print(f"[detect_scale] link probe: {probe}")
 
     import jax.numpy as jnp
 
@@ -138,7 +145,7 @@ def main(argv=None):
 
     out = {
         "maps": args.maps, "tiles": n_tiles, "gt_boxes": n_gt,
-        "weights": weights,
+        "weights": weights, **probe,
         "detect_s": round(detect_s, 2),
         "detect_tiles_per_sec": round(n_tiles / detect_s, 1),
         "detect_stage_ms": stage_ms,
