@@ -406,6 +406,13 @@ def _val(args):
     and the fitness (0.1*mAP50 + 0.9*mAP50-95) of a checkpoint over the
     val tile list built by `oodt train` (no full-map stitching — that is
     `oodt detect --metrics`)."""
+    if getattr(args, "dist", False):
+        from .parallel import distributed as DIST
+
+        DIST.initialize(coordinator_address=args.coordinator,
+                        num_processes=args.num_processes,
+                        process_id=args.process_id)
+
     from types import SimpleNamespace
 
     from .utils.runtime import enable_compilation_cache
@@ -439,14 +446,18 @@ def _val(args):
         else ck["params"]
     state = SimpleNamespace(params=params, ema_params=params,
                             batch_stats=ck["batch_stats"])
+    import jax
+
     fitness, comps = validate_tiles(
         model, state, ds, cfg, max_tiles=args.max_tiles,
-        batch_size=args.batch_size, return_components=True)
-    print(f"[VAL] ckpt={args.ckpt} scale={scale} ts={ts} "
-          f"tiles={comps['n_tiles']}")
-    print(f"[VAL] mAP@0.5={comps['mAP@0.5']:.4f} "
-          f"mAP@[0.5:0.95]={comps['mAP@[0.5:0.95]']:.4f} "
-          f"fitness={fitness:.4f}")
+        batch_size=args.batch_size, return_components=True,
+        shard_across_processes=getattr(args, "dist", False))
+    if jax.process_index() == 0:   # rank-0 report (every process holds
+        print(f"[VAL] ckpt={args.ckpt} scale={scale} ts={ts} "  # the
+              f"tiles={comps['n_tiles']}")    # identical global metric)
+        print(f"[VAL] mAP@0.5={comps['mAP@0.5']:.4f} "
+              f"mAP@[0.5:0.95]={comps['mAP@[0.5:0.95]']:.4f} "
+              f"fitness={fitness:.4f}")
     return {"fitness": fitness, **comps}
 
 
@@ -636,10 +647,17 @@ def main(argv=None):
                    help="fallback when the ckpt lacks model_scale")
     v.add_argument("--batch-size", type=int, default=16)
     v.add_argument("--max-tiles", type=int)
+    v.add_argument("--dist", action="store_true",
+                   help="multi-host val: each process infers a disjoint "
+                        "tile shard, packed rows allgather, rank 0 "
+                        "reports the (bit-identical) global metric")
+    v.add_argument("--coordinator", default=None)
+    v.add_argument("--num-processes", type=int, default=None)
+    v.add_argument("--process-id", type=int, default=None)
     v.set_defaults(fn=_val)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

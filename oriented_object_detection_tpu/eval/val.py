@@ -66,11 +66,20 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                    max_tiles: int | None = None,
                    batch_size: int = 16, conf_thr: float = 0.001,
                    use_ema: bool = True,
-                   return_components: bool = False):
+                   return_components: bool = False,
+                   shard_across_processes: bool = False):
     """Engine fitness (0.1*mAP@0.5 + 0.9*mAP@[0.5:0.95]) of the current
     params over the val tile dataset. With `return_components` also
     returns the mAP breakdown dict (`oodt val`, the engine's
-    `model.val()` analogue)."""
+    `model.val()` analogue).
+
+    `shard_across_processes` (multi-host `oodt val --dist`): each
+    process infers a disjoint stride slice of the tile order on its own
+    local devices, then packed det/GT rows allgather so every process
+    evaluates the identical global metric. Inference is per-sample
+    independent (convs/decode/NMS never reduce across the batch axis,
+    BN uses running stats), so the sharded result is bit-identical to
+    single-process."""
     import jax
     import jax.numpy as jnp
 
@@ -105,10 +114,12 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
         rng.shuffle(order)
     order = order[:n]
 
-    from ..ops import geometry as G
+    n_procs = jax.process_count()
+    shard = shard_across_processes and n_procs > 1
+    local = order[jax.process_index()::n_procs] if shard else order
 
-    for s in range(0, n, batch_size):
-        idx = order[s:s + batch_size]
+    for s in range(0, len(local), batch_size):
+        idx = local[s:s + batch_size]
         imgs = np.zeros((batch_size, ts, ts, cfg.channels), np.float32)
         metas = []
         for bi, i in enumerate(idx):
@@ -145,6 +156,47 @@ def validate_tiles(model, state, val_ds, cfg: TrainConfig,
                  conf[bi][sel][:, None],
                  np.zeros((sel.sum(), 1))], axis=1)
             dets_per_image[key] = rows
+
+    if shard:
+        # union the per-process shards: fixed-shape packs (dets already
+        # bounded by max_det=64; GT padded to the global per-tile max)
+        # + the tile indices, ONE allgather each — every process ends
+        # with the identical global det/GT maps
+        from jax.experimental import multihost_utils as mhu
+
+        det_cap = 64      # postprocess max_det
+        n_max = -(-n // n_procs)
+        keys_local = [val_ds.paths[i] for i in local]
+        g_cap_local = max((len(gt_map[k]) for k in keys_local),
+                          default=0)
+        g_cap = int(np.max(mhu.process_allgather(
+            np.asarray([g_cap_local], np.int32), tiled=True)))
+        g_cap = max(g_cap, 1)
+        dp = np.zeros((n_max, det_cap, 11), np.float64)
+        dn = np.zeros((n_max,), np.int32)
+        gp = np.zeros((n_max, g_cap, 9), np.float64)
+        gn = np.zeros((n_max,), np.int32)
+        tid = np.full((n_max,), -1, np.int32)
+        for j, i in enumerate(local):
+            k = val_ds.paths[i]
+            r, g = dets_per_image[k], gt_map[k]
+            dp[j, :len(r)], dn[j] = r, len(r)
+            gp[j, :len(g)], gn[j] = g, len(g)
+            tid[j] = i
+        a_dp = np.asarray(mhu.process_allgather(dp, tiled=True))
+        a_dn = np.asarray(mhu.process_allgather(dn, tiled=True))
+        a_gp = np.asarray(mhu.process_allgather(gp, tiled=True))
+        a_gn = np.asarray(mhu.process_allgather(gn, tiled=True))
+        a_tid = np.asarray(mhu.process_allgather(tid, tiled=True))
+        by_tid = {int(t): j for j, t in enumerate(a_tid) if t >= 0}
+        # rebuild in the GLOBAL tile order so key iteration (and any
+        # equal-conf tie-breaks downstream) matches single-process
+        dets_per_image, gt_map = {}, {}
+        for i in order:
+            j = by_tid[int(i)]
+            k = val_ds.paths[int(i)]
+            dets_per_image[k] = a_dp[j, :a_dn[j]]
+            gt_map[k] = a_gp[j, :a_gn[j]]
 
     cache = M.GTCache(loader=lambda p: gt_map.get(p, np.zeros((0, 9))))
     ious = [0.5 + 0.05 * i for i in range(10)]
