@@ -31,8 +31,19 @@ from ..ops import geometry as G
 from ..ops import warp as W
 from . import labels as L
 
-# device tile caches larger than this fall back to the host mosaic path
-DEVICE_CACHE_BUDGET_BYTES = 6 << 30
+# device tile caches larger than this fall back to the host mosaic path.
+# v5e has 16 GB HBM; the x-416-b16 train step needs ~0.7 GB f32 state
+# (params+EMA+momentum) plus transient activations, so an 8 GB cache
+# still leaves headroom — the GeoMap-real 416 build (11,925 tiles,
+# 6.2 GB) must ride the device path: on this 1-core host the fallback
+# mosaic (64 jpg decodes + numpy warp per 16-batch) costs ~0.46 s/step
+# vs 59 ms device-bound (r05 flagship run).
+DEVICE_CACHE_BUDGET_BYTES = 8 << 30
+
+# host decoded-tile cache (the device-path fallback AND the val loop
+# both re-decode jpgs per access otherwise; this box has 1 CPU core and
+# ~125 GB RAM, so trading RAM for decode time is free)
+HOST_CACHE_BUDGET_BYTES = 32 << 30
 
 
 def load_tile(path: str, channels: int = 3) -> np.ndarray:
@@ -243,6 +254,8 @@ class TileDataset:
         self.max_labels = max_labels
         self._dev_cache = None          # jnp [N, ts, ts, C] uint8
         self._dev_cache_failed = False
+        self._host_sized = None         # idx -> (img, cls, c8) memo
+        self._host_labels: dict = {}    # idx -> (cls, c8) memo
 
     def __len__(self):
         return len(self.paths)
@@ -284,7 +297,19 @@ class TileDataset:
         return img, lab
 
     def _get_sized(self, i: int):
-        """Tile resized to (ts, ts) with labels in PIXEL corner coords."""
+        """Tile resized to (ts, ts) with labels in PIXEL corner coords.
+
+        Memoized in host RAM when the set fits HOST_CACHE_BUDGET_BYTES:
+        the host mosaic path touches 4 tiles per sample and jpg decode
+        on this 1-core box costs ~4 ms each — an uncached x-416-b16
+        epoch is decode-bound. Returned arrays are READ-ONLY by
+        contract (every caller copies or slices)."""
+        if self._host_sized is None:
+            ts_, C, N = self.tile_size, self.channels, len(self.paths)
+            self._host_sized = {} if N * ts_ * ts_ * C <= \
+                HOST_CACHE_BUDGET_BYTES else False
+        if self._host_sized is not False and i in self._host_sized:
+            return self._host_sized[i]
         import cv2
 
         ts = self.tile_size
@@ -293,6 +318,8 @@ class TileDataset:
             img = cv2.resize(img, (ts, ts))
         c8 = lab[:, 1:] * ts if len(lab) else np.zeros((0, 8))
         cls = lab[:, 0] if len(lab) else np.zeros((0,))
+        if self._host_sized is not False:
+            self._host_sized[i] = (img, cls, c8)
         return img, cls, c8
 
     def mosaic_params(self, i: int, rng: np.random.RandomState):
@@ -310,11 +337,19 @@ class TileDataset:
         return idxs, yc, xc, s, tx, ty
 
     def _labels_sized(self, i: int):
-        """Labels of tile i in PIXEL corner coords at (ts, ts)."""
+        """Labels of tile i in PIXEL corner coords at (ts, ts).
+        Memoized: the device-mosaic path still computes label math on
+        the host, touching 4 label FILES per sample — at b16 that is 64
+        reads+parses per batch on a 1-core box. Read-only contract
+        (mosaic_labels copies before mutating)."""
+        hit = self._host_labels.get(i)
+        if hit is not None:
+            return hit
         lab = L.read_labels(label_path_for_tile(self.paths[i]))
         ts = self.tile_size
         c8 = lab[:, 1:] * ts if len(lab) else np.zeros((0, 8))
         cls = lab[:, 0] if len(lab) else np.zeros((0,))
+        self._host_labels[i] = (cls, c8)
         return cls, c8
 
     def mosaic_labels(self, params):
