@@ -121,22 +121,29 @@ def _mosaic_batch_fn(ts: int, channels: int):
 
     def compose(t4, yc1, xc1):
         """2ts x 2ts mosaic canvas from 4 [ts,ts,C] tiles and the random
-        center — the same placement arithmetic as the host paste loops,
-        expressed as a gather (canvas px (y,x): quadrant q by (y>=yc,
-        x>=xc), source px (y,x) - center + ts on the low side)."""
-        yy = jnp.arange(2 * ts)[:, None]
-        xx = jnp.arange(2 * ts)[None, :]
-        q = 2 * (yy >= yc1).astype(jnp.int32) \
-            + (xx >= xc1).astype(jnp.int32)           # [2ts, 2ts]
-        sy = yy - yc1 + jnp.where(yy < yc1, ts, 0)
-        sx = xx - xc1 + jnp.where(xx < xc1, ts, 0)
-        ok = (sy >= 0) & (sy < ts) & (sx >= 0) & (sx < ts)
-        vals = t4[q, jnp.clip(sy, 0, ts - 1), jnp.clip(sx, 0, ts - 1)]
-        return jnp.where(ok[..., None], vals.astype(jnp.int32),
-                         jnp.asarray(border, jnp.int32)).astype(jnp.uint8)
+        center. The tiles always form a fixed 2x2 grid shifted so its
+        center lands on (yc, xc): a dynamic ROLL of the static grid,
+        with the wrapped strips (exactly the canvas area no tile
+        covers) masked to the border value. Values are identical to the
+        per-pixel quadrant gather this replaces, but rolls lower to
+        slices+concat instead of an element-granular gather (which cost
+        ~0.4 s/batch on v5e — r05 flagship diagnosis)."""
+        grid = jnp.concatenate([
+            jnp.concatenate([t4[0], t4[1]], axis=1),
+            jnp.concatenate([t4[2], t4[3]], axis=1)], axis=0)
+        rolled = jnp.roll(grid, shift=(yc1 - ts, xc1 - ts), axis=(0, 1))
+        rr = jnp.arange(2 * ts)
+        oky = (rr >= yc1 - ts) & (rr < yc1 + ts)
+        okx = (rr >= xc1 - ts) & (rr < xc1 + ts)
+        ok = oky[:, None] & okx[None, :]
+        return jnp.where(ok[..., None], rolled,
+                         jnp.asarray(border, jnp.uint8))
 
     def warp_one(canvas, ad, bd, X0, Y0):
-        return W.warp_affine_u8_dev(canvas, ad, bd, X0, Y0, border)
+        # mosaic affines are scale+translate only (mosaic_params), so
+        # bd == 0 and X0 is constant: the axis-separable warp applies
+        # (bit-identical, two 1-D axis gathers instead of per-pixel 2-D)
+        return W.warp_axis_aligned_u8_dev(canvas, ad, X0, Y0, border)
 
     def run(cache, idxs, yc, xc, ad, bd, X0, Y0, is_mosaic,
             gb, flips, sg, vg):

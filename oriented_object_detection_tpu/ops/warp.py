@@ -132,6 +132,51 @@ def warp_affine_u8_dev(img, adelta, bdelta, X0, Y0, border_value):
     return jnp.clip(res, 0, 255).astype(jnp.uint8)
 
 
+def warp_axis_aligned_u8_dev(img, adelta, X0, Y0, border_value):
+    """Axis-aligned (scale + translate, no rotation/shear) special case
+    of `warp_affine_u8_dev`, restructured for TPU.
+
+    The general warp gathers 4 taps with PER-PIXEL 2-D indices — XLA
+    lowers that to an element-granular gather that costs ~0.4 s/batch on
+    v5e at mosaic shapes (r05 flagship diagnosis). When `bdelta == 0`
+    and `X0` is constant (every mosaic affine: M = [[s,0,tx],[0,s,ty]]),
+    the source coordinate factorizes as ix(x), iy(y) and the bilinear
+    warp is two AXIS gathers with shared 1-D index vectors.
+
+    BIT-IDENTICAL to `warp_affine_u8_dev` by integer-arithmetic
+    identity: acc = Σ_dy w_y (Σ_dx w_x · tap) with per-tap border
+    substitution factorizing because the border is constant
+    (y-invalid tap contributes Σ_dx w_x · border = FRAC_ONE · border).
+    Intermediates bound: x-pass ≤ 2^10·255·2 < 2^19; final acc
+    ≤ 2·2^10·2^19 = 2^30 < int32 max. Same final rounding/shift.
+    """
+    import jax.numpy as jnp
+
+    X = X0[0] + adelta                     # [out_w] (X0 constant)
+    ix, fx = X >> FRAC_BITS, X & (FRAC_ONE - 1)
+    iy, fy = Y0 >> FRAC_BITS, Y0 & (FRAC_ONE - 1)
+    H, W = img.shape[0], img.shape[1]
+    imgi = img.astype(jnp.int32)
+    border = jnp.asarray(border_value, jnp.int32).reshape(1, 1, -1)
+    gx, gy = FRAC_ONE - fx, FRAC_ONE - fy
+
+    def tapx(ix_):
+        ok = (ix_ >= 0) & (ix_ < W)
+        v = jnp.take(imgi, jnp.clip(ix_, 0, W - 1), axis=1)
+        return jnp.where(ok[None, :, None], v, border)
+
+    px = gx[None, :, None] * tapx(ix) + fx[None, :, None] * tapx(ix + 1)
+
+    def tapy(iy_):
+        ok = (iy_ >= 0) & (iy_ < H)
+        v = jnp.take(px, jnp.clip(iy_, 0, H - 1), axis=0)
+        return jnp.where(ok[:, None, None], v, border * FRAC_ONE)
+
+    acc = gy[:, None, None] * tapy(iy) + fy[:, None, None] * tapy(iy + 1)
+    res = (acc + ROUND_HALF) >> COEF_BITS
+    return jnp.clip(res, 0, 255).astype(jnp.uint8)
+
+
 def warp_affine_u8(img, M, out_h: int, out_w: int, border_value):
     """Convenience: forward matrix M [2,3] (like cv2.warpAffine), single
     image on device."""

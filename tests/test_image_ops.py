@@ -115,3 +115,31 @@ class TestWarpAffine:
         M = np.array([[1.0, 0, 100.0], [0, 1.0, 100.0]], np.float64)
         out = W.warp_affine_u8_np(img, W.invert_affine(M), 8, 8, (114,) * 3)
         assert (out == 114).all()
+
+    def test_axis_aligned_fast_path_bitexact(self):
+        """warp_axis_aligned_u8_dev (the r05 mosaic hot path: two 1-D
+        axis gathers) must be BIT-IDENTICAL to the general per-pixel
+        warp for every scale+translate affine, including ones that
+        sample far outside the image (border factorization)."""
+        import jax.numpy as jnp
+
+        from oriented_object_detection_tpu.ops import warp as W
+
+        rng = np.random.RandomState(21)
+        cases = [self._rand_case(rng) for _ in range(5)]
+        # adversarial: whole output out of range / half out of range
+        img = rng.randint(0, 256, (64, 64, 3), np.uint8)
+        cases.append((img, np.array([[1.0, 0, 200.0], [0, 1.0, 200.0]]),
+                      48, 3))
+        cases.append((img, np.array([[0.7, 0, -20.0], [0, 1.3, 40.0]]),
+                      48, 3))
+        for img, M, ts, C in cases:
+            ad, bd, X0, Y0 = W.affine_deltas(W.invert_affine(M), ts, ts)
+            assert (bd == 0).all() and (X0 == X0[0]).all()  # axis-aligned
+            args = (jnp.asarray(ad), jnp.asarray(bd), jnp.asarray(X0),
+                    jnp.asarray(Y0))
+            general = np.asarray(W.warp_affine_u8_dev(
+                jnp.asarray(img), *args, (114,) * C))
+            fast = np.asarray(W.warp_axis_aligned_u8_dev(
+                jnp.asarray(img), args[0], args[2], args[3], (114,) * C))
+            assert (general == fast).all()
